@@ -1,0 +1,67 @@
+"""Codec registry — format capabilities and dispatch.
+
+Plays the role ``soundfile``'s format table plays for the reference
+(``matchering/results.py:29-34`` uses ``sf.check_format``): maps container
+formats to supported subtypes and dispatches reads/writes to the fastest
+available backend.  Backends, in preference order:
+
+1. the native C++ codec (``matchering_tpu/io/native``), when built;
+2. the pure numpy WAV/AIFF codecs in this package;
+3. an ``ffmpeg`` subprocess for anything else (mp3, ogg, flac...), matching
+   the reference's fallback behavior (``matchering/loader.py:50-74``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from . import aiff, wav
+from .native import binding as native
+
+_WRITE_FORMATS = {
+    "WAV": ("PCM_16", "PCM_24", "PCM_32", "FLOAT", "DOUBLE"),
+    "AIFF": ("PCM_16", "PCM_24", "PCM_32"),
+    "AIF": ("PCM_16", "PCM_24", "PCM_32"),
+}
+
+
+def check_format(fmt: str, subtype: Optional[str] = None) -> bool:
+    """True if ``fmt`` (and optionally ``subtype``) can be written."""
+    fmt = fmt.upper()
+    if fmt not in _WRITE_FORMATS:
+        return False
+    return subtype is None or subtype.upper() in _WRITE_FORMATS[fmt]
+
+
+def read(path: str) -> Tuple[np.ndarray, int]:
+    """Read an audio file -> (float64 (n, ch) array, sample rate).
+
+    Raises RuntimeError with an "unknown format" message for containers no
+    built-in codec handles, so callers can trigger the ffmpeg fallback —
+    the same contract the reference relies on (``matchering/loader.py:39-41``).
+    """
+    with open(path, "rb") as f:
+        magic = f.read(12)
+    if len(magic) >= 12 and magic[:4] == b"RIFF" and magic[8:12] == b"WAVE":
+        if native.available():
+            return native.read_wav(path)
+        return wav.read(path)
+    if len(magic) >= 12 and magic[:4] == b"FORM" and magic[8:12] in (b"AIFF", b"AIFC"):
+        return aiff.read(path)
+    raise RuntimeError(f"unknown format: '{os.path.basename(path)}'")
+
+
+def write(path: str, array: np.ndarray, sample_rate: int, subtype: str) -> None:
+    ext = os.path.splitext(path)[1][1:].upper()
+    if ext == "WAV":
+        if native.available() and subtype in ("PCM_16", "PCM_24", "PCM_32", "FLOAT"):
+            native.write_wav(path, np.ascontiguousarray(array, dtype=np.float64), sample_rate, subtype)
+            return
+        wav.write(path, array, sample_rate, subtype)
+    elif ext in ("AIFF", "AIF"):
+        aiff.write(path, array, sample_rate, subtype)
+    else:
+        raise RuntimeError(f"unsupported output format: {ext}")

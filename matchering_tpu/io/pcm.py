@@ -1,0 +1,109 @@
+"""PCM sample-format conversion (float <-> integer codes).
+
+Replaces the float conversion conventions the reference inherits from
+libsndfile via ``soundfile`` (reference ``matchering/loader.py:35``,
+``matchering/saver.py:32``): integer PCM maps to float by dividing by
+``2**(bits-1)``; float -> integer multiplies by ``2**(bits-1)`` and clips to
+the representable range.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# subtype -> (bytes per sample, numpy dtype or None for packed 24-bit)
+SUBTYPES = {
+    "PCM_16": 2,
+    "PCM_24": 3,
+    "PCM_32": 4,
+    "FLOAT": 4,
+    "DOUBLE": 8,
+}
+
+
+def decode_pcm16(raw: bytes, big_endian: bool = False) -> np.ndarray:
+    dt = ">i2" if big_endian else "<i2"
+    return np.frombuffer(raw, dtype=dt).astype(np.float64) / 32768.0
+
+
+def decode_pcm24(raw: bytes, big_endian: bool = False) -> np.ndarray:
+    b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+    if big_endian:
+        b = b[:, ::-1]
+    val = (
+        b[:, 0].astype(np.int32)
+        | (b[:, 1].astype(np.int32) << 8)
+        | (b[:, 2].astype(np.int32) << 16)
+    )
+    val = np.where(val >= 1 << 23, val - (1 << 24), val)
+    return val.astype(np.float64) / float(1 << 23)
+
+
+def decode_pcm32(raw: bytes, big_endian: bool = False) -> np.ndarray:
+    dt = ">i4" if big_endian else "<i4"
+    return np.frombuffer(raw, dtype=dt).astype(np.float64) / float(1 << 31)
+
+
+def decode_float(raw: bytes, big_endian: bool = False) -> np.ndarray:
+    dt = ">f4" if big_endian else "<f4"
+    return np.frombuffer(raw, dtype=dt).astype(np.float64)
+
+
+def decode_double(raw: bytes, big_endian: bool = False) -> np.ndarray:
+    dt = ">f8" if big_endian else "<f8"
+    return np.frombuffer(raw, dtype=dt).astype(np.float64)
+
+
+def encode_pcm16(x: np.ndarray, big_endian: bool = False) -> bytes:
+    scaled = np.clip(np.rint(x * 32768.0), -32768, 32767).astype(np.int64)
+    dt = ">i2" if big_endian else "<i2"
+    return scaled.astype(dt).tobytes()
+
+
+def encode_pcm24(x: np.ndarray, big_endian: bool = False) -> bytes:
+    scaled = np.clip(
+        np.rint(x * float(1 << 23)), -(1 << 23), (1 << 23) - 1
+    ).astype(np.int32)
+    u = scaled.astype(np.uint32).reshape(-1)
+    out = np.empty((u.size, 3), dtype=np.uint8)
+    out[:, 0] = u & 0xFF
+    out[:, 1] = (u >> 8) & 0xFF
+    out[:, 2] = (u >> 16) & 0xFF
+    if big_endian:
+        out = out[:, ::-1]
+    return out.tobytes()
+
+
+def encode_pcm32(x: np.ndarray, big_endian: bool = False) -> bytes:
+    scaled = np.clip(
+        np.rint(x * float(1 << 31)), -(1 << 31), (1 << 31) - 1
+    ).astype(np.int64)
+    dt = ">i4" if big_endian else "<i4"
+    return scaled.astype(dt).tobytes()
+
+
+def encode_float(x: np.ndarray, big_endian: bool = False) -> bytes:
+    dt = ">f4" if big_endian else "<f4"
+    return x.astype(dt).tobytes()
+
+
+def encode_double(x: np.ndarray, big_endian: bool = False) -> bytes:
+    dt = ">f8" if big_endian else "<f8"
+    return x.astype(dt).tobytes()
+
+
+DECODERS = {
+    "PCM_16": decode_pcm16,
+    "PCM_24": decode_pcm24,
+    "PCM_32": decode_pcm32,
+    "FLOAT": decode_float,
+    "DOUBLE": decode_double,
+}
+
+ENCODERS = {
+    "PCM_16": encode_pcm16,
+    "PCM_24": encode_pcm24,
+    "PCM_32": encode_pcm32,
+    "FLOAT": encode_float,
+    "DOUBLE": encode_double,
+}

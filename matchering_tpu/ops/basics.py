@@ -1,0 +1,157 @@
+"""Elementwise / reduction DSP kernels (JAX).
+
+TPU-native counterpart of the reference kernel library
+(``matchering/dsp.py:25-152``).  All functions are pure, shape-static and
+jit-safe; reductions that the reference implements with boolean fancy
+indexing are expressed here as masked arithmetic (identical numerics, static
+shapes — see ``loudest_piece_stats``).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Channel transforms
+
+
+def lr_to_ms(array: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Stereo (n, 2) -> mid/side pair of (n,) arrays.
+
+    mid = (L + R) / 2, side = (L - R) / 2 (reference ``dsp.py:57-64``).
+    """
+    mid = (array[:, 0] + array[:, 1]) * 0.5
+    side = mid - array[:, 1]
+    return mid, side
+
+
+def ms_to_lr(mid: jax.Array, side: jax.Array) -> jax.Array:
+    """Mid/side -> stereo (n, 2): L = mid + side, R = mid - side
+    (reference ``dsp.py:67-68``)."""
+    return jnp.stack([mid + side, mid - side], axis=-1)
+
+
+def mono_to_stereo(array: jax.Array) -> jax.Array:
+    return jnp.repeat(array, repeats=2, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Gain / amplitude
+
+
+def amplify(array: jax.Array, gain) -> jax.Array:
+    return array * gain
+
+
+def clip(array: jax.Array, to: float = 1.0) -> jax.Array:
+    return jnp.clip(array, -to, to)
+
+
+def flip(array: jax.Array) -> jax.Array:
+    return 1.0 - array
+
+
+def max_mix(*arrays) -> jax.Array:
+    out = arrays[0]
+    for a in arrays[1:]:
+        out = jnp.maximum(out, a)
+    return out
+
+
+def rectify(array: jax.Array, threshold: float) -> jax.Array:
+    """Cross-channel peak envelope floored at ``threshold`` and normalized to
+    it (reference ``dsp.py:117-121``): output >= 1, equal to 1 where the
+    signal does not exceed the threshold."""
+    peak = jnp.max(jnp.abs(array), axis=1)
+    return jnp.maximum(peak, threshold) / threshold
+
+
+def normalize(
+    array: jax.Array, threshold: float, epsilon: float, normalize_clipped: bool
+) -> Tuple[jax.Array, jax.Array]:
+    """Peak-normalize to ``threshold`` (reference ``dsp.py:89-100``).
+
+    Quiet material (peak < threshold) is boosted so its peak lands exactly on
+    the threshold; material at/above the threshold is left untouched unless
+    ``normalize_clipped`` is set, in which case it is attenuated onto the
+    threshold too.  Returns the scaled array and the scalar coefficient that
+    was divided out.
+    """
+    max_value = jnp.max(jnp.abs(array))
+    coefficient = jnp.maximum(epsilon, max_value / threshold)
+    if not normalize_clipped:
+        coefficient = jnp.where(max_value < threshold, coefficient, 1.0)
+    return array / coefficient, coefficient
+
+
+def fade(array: jax.Array, fade_size: int) -> jax.Array:
+    """Linear fade-in/out over ``fade_size`` samples (reference
+    ``dsp.py:146-152``).  ``fade_size`` is static."""
+    n = array.shape[0]
+    ramp_in = jnp.linspace(0.0, 1.0, fade_size, dtype=array.dtype)
+    shape = (fade_size,) + (1,) * (array.ndim - 1)
+    ramp_in = ramp_in.reshape(shape)
+    head = array[:fade_size] * ramp_in
+    tail = array[n - fade_size :] * ramp_in[::-1]
+    return jnp.concatenate([head, array[fade_size : n - fade_size], tail], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# RMS statistics
+
+
+def rms(array: jax.Array) -> jax.Array:
+    """Root mean square of a 1-D array (reference ``dsp.py:76-77``)."""
+    return jnp.sqrt(jnp.dot(array, array) / array.shape[0])
+
+
+def unfold(array: jax.Array, piece_size: int, divisions: int) -> jax.Array:
+    """(n,) -> (divisions, piece_size), truncating the tail
+    (reference ``dsp.py:71-73``)."""
+    return array[: piece_size * divisions].reshape(divisions, piece_size)
+
+
+def batch_rms(pieces: jax.Array) -> jax.Array:
+    """Per-row RMS of a (divisions, piece_size) array (reference
+    ``dsp.py:80-86`` — there a batched matmul; here a fused reduction)."""
+    return jnp.sqrt(jnp.mean(jnp.square(pieces), axis=-1))
+
+
+def masked_rms(values: jax.Array, mask: jax.Array) -> jax.Array:
+    """RMS over the entries selected by ``mask``: sqrt(sum(mask*v^2)/sum(mask)).
+
+    Static-shape replacement for the reference's boolean-index-then-rms
+    (``match_levels.py:62-71``): identical numerics for any 0/1 mask.
+    """
+    weight = jnp.sum(mask)
+    total = jnp.sum(jnp.square(values) * mask)
+    return jnp.sqrt(total / jnp.maximum(weight, 1))
+
+
+def loudest_piece_stats(rmses: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Loudest-piece mask and match RMS (reference ``match_levels.py:62-71``).
+
+    A piece is "loudest" when its RMS >= the RMS of all piece RMSes; the
+    match RMS is the RMS of the selected pieces' RMSes.
+    Returns (mask float array of shape (divisions,), match_rms scalar).
+    """
+    average_rms = rms(rmses)
+    mask = (rmses >= average_rms).astype(rmses.dtype)
+    return mask, masked_rms(rmses, mask)
+
+
+# ---------------------------------------------------------------------------
+# Peak statistics
+
+
+def count_max_peaks(array: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Global peak magnitude and how many samples sit at it, using
+    ``np.isclose`` tolerances (reference ``dsp.py:49-54``)."""
+    max_value = jnp.max(jnp.abs(array))
+    atol, rtol = 1e-8, 1e-5
+    tol = atol + rtol * max_value
+    near = jnp.abs(jnp.abs(array) - max_value) <= tol
+    return max_value, jnp.sum(near)

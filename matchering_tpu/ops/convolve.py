@@ -1,0 +1,72 @@
+"""Long FIR convolution via overlap-save block FFT (JAX).
+
+TPU-native replacement for the reference's full-track
+``scipy.signal.fftconvolve(x, fir, "same")``
+(``matchering/stage_helpers/match_frequencies.py:104-119``) — the hottest
+operation of the whole pipeline.  Instead of one giant FFT over the track,
+the signal is cut into overlapping blocks of a hardware-friendly power-of-two
+size and processed as one *batched* rFFT -> spectral multiply -> irFFT — the
+exact same linear convolution (overlap-save is exact, not an approximation),
+but expressed as large batched FFTs that XLA pipelines well on TPU, bounded
+VMEM working set, and trivially shardable across the time axis (each block
+only needs ``taps-1`` halo samples from its left neighbor — see
+``parallel/timeshard.py``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length()
+
+
+def fft_convolve_same(
+    x: jax.Array, fir: jax.Array, block_fft: int = 1 << 17
+) -> jax.Array:
+    """``scipy.signal.fftconvolve(x, fir, mode="same")`` for 1-D inputs.
+
+    ``fir`` length must be <= ``block_fft // 2``.  For short signals a single
+    FFT is used; otherwise overlap-save blocks of ``block_fft`` points.
+    """
+    n = x.shape[0]
+    taps = fir.shape[0]
+    full = n + taps - 1
+    start = (taps - 1) // 2  # "same" keeps the centered n samples
+
+    single = _next_pow2(full)
+    if single <= block_fft:
+        spec = jnp.fft.rfft(x, n=single) * jnp.fft.rfft(fir, n=single)
+        out = jnp.fft.irfft(spec, n=single)
+        return out[start : start + n]
+
+    nfft = block_fft
+    hop = nfft - (taps - 1)  # new samples consumed per block
+    nblocks = -(-full // hop)
+
+    # Block b produces full-convolution outputs [b*hop, b*hop + hop) from
+    # x-samples [b*hop - (taps-1), b*hop + hop); pad so every block reads
+    # in-bounds.
+    lead = taps - 1
+    padded = jnp.pad(x, (lead, nblocks * hop - n))
+    starts = jnp.arange(nblocks) * hop
+    blocks = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(padded, (s,), (nfft,))
+    )(starts)
+
+    h = jnp.fft.rfft(fir, n=nfft)
+    specs = jnp.fft.rfft(blocks, axis=-1)
+    segs = jnp.fft.irfft(specs * h[None, :], n=nfft, axis=-1)
+    out = segs[:, lead:].reshape(-1)  # discard circular wrap, keep hop each
+    return out[start : start + n]
+
+
+def fft_convolve_same_batch(
+    signals: jax.Array, firs: jax.Array, block_fft: int = 1 << 17
+) -> jax.Array:
+    """Batched 'same' convolution: signals (c, n) with firs (c, taps)."""
+    return jax.vmap(fft_convolve_same, in_axes=(0, 0, None))(
+        signals, firs, block_fft
+    )

@@ -1,0 +1,84 @@
+"""Sliding-window maximum kernels (JAX, van Herk / Gil-Werman scheme).
+
+TPU-native replacement for ``scipy.ndimage.maximum_filter1d`` as used by the
+Hyrax limiter (reference ``matchering/limiter/hyrax.py:32-40``):
+
+* ``max_filter1d`` reproduces ndimage semantics exactly — window
+  ``[i - size//2, i + size - size//2 - 1]`` around each sample and
+  edge-replicating 'reflect' padding;
+* ``sliding_max_attack`` / ``sliding_max_hold`` mirror the limiter's two
+  window modes (centered odd window; causal left-zero-padded window).
+
+The van Herk trick turns an O(n*w) sliding max into two block-wise cumulative
+maxima (one forward, one backward) plus an elementwise max — all parallel,
+vectorized over ``(n/w, w)`` blocks on the VPU, O(n log w) depth.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import make_odd
+
+
+def _van_herk_start_max(padded: jax.Array, window: int) -> jax.Array:
+    """max over padded[j : j + window] for every valid start j.
+
+    Returns an array of length len(padded) - window + 1.
+    """
+    m = padded.shape[0]
+    n_out = m - window + 1
+    blocks = -(-m // window)
+    x = jnp.pad(padded, (0, blocks * window - m), constant_values=-jnp.inf)
+    x = x.reshape(blocks, window)
+    prefix = jax.lax.cummax(x, axis=1).reshape(-1)
+    suffix = jax.lax.cummax(x[:, ::-1], axis=1)[:, ::-1].reshape(-1)
+    # A window starting at j spans at most two blocks: [j .. block_end] is
+    # covered by suffix[j], [next_block_start .. j+window-1] by
+    # prefix[j+window-1].
+    return jnp.maximum(suffix[:n_out], prefix[window - 1 : window - 1 + n_out])
+
+
+def max_filter1d(array: jax.Array, size: int) -> jax.Array:
+    """``scipy.ndimage.maximum_filter1d(array, size, mode='reflect')``.
+
+    ``size`` is static.  Window spans ``[i - left, i + right]`` with
+    ``left = size // 2`` and ``right = size - left - 1``; 'reflect' padding
+    duplicates the edge sample (``(d c b a | a b c d | d c b a)``).
+    """
+    left = size // 2
+    right = size - left - 1
+    parts = []
+    if left:
+        parts.append(array[:left][::-1])
+    parts.append(array)
+    if right:
+        parts.append(array[-right:][::-1])
+    return _van_herk_start_max(jnp.concatenate(parts) if len(parts) > 1 else array, size)
+
+
+def sliding_max_attack(array: jax.Array, window_size: int) -> jax.Array:
+    """Centered sliding max used by the limiter's attack stage
+    (reference ``hyrax.py:35-37``): odd window of width
+    ``2*make_odd(window_size) - 1`` with reflect edges."""
+    return max_filter1d(array, 2 * make_odd(window_size) - 1)
+
+
+def sliding_max_hold(array: jax.Array, window_size: int) -> jax.Array:
+    """Causal sliding max used by the limiter's hold stage
+    (reference ``hyrax.py:38-40``): the input is left-padded with
+    ``(size-1)//2`` zeros, max-filtered with an even/odd window of
+    ``window_size``, then trimmed — net effect: max over the trailing window
+    ``[i - (window_size + half) + 1, i]`` with zeros before sample 0."""
+    half = (window_size - 1) // 2
+    left = window_size // 2
+    right = window_size - left - 1
+    # For any window size half == right, so the zeros injected by the
+    # reference's np.pad plus the filter's own left-edge handling reduce to a
+    # single zero pad of half+left samples, and the kept output range never
+    # touches the right edge.  (Gain envelopes are non-negative, so the zero
+    # padding reproduces ndimage's reflected-zeros edge exactly.)
+    assert half == right, (window_size, half, right)
+    pad_left = jnp.zeros((half + left,), dtype=array.dtype)
+    return _van_herk_start_max(jnp.concatenate([pad_left, array]), window_size)

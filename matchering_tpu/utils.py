@@ -1,0 +1,40 @@
+"""Host-side scalar helpers (reference ``matchering/utils.py:28-59``)."""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+import string
+from datetime import timedelta
+
+
+def get_temp_folder(results: list) -> str:
+    """Folder of the first result file, used for codec temp conversions."""
+    return os.path.dirname(os.path.abspath(results[0].file))
+
+
+def random_str(size: int = 16) -> str:
+    alphabet = string.ascii_lowercase + string.digits
+    return "".join(random.choices(alphabet, k=size))
+
+
+def random_file(prefix: str = "", extension: str = "wav") -> str:
+    head = f"{prefix}-" if prefix else ""
+    return f"{head}{random_str()}.{extension}"
+
+
+def to_db(value: float) -> str:
+    return f"{20 * math.log10(value):.4f} dB"
+
+
+def ms_to_samples(value: float, sample_rate: int) -> int:
+    return int(sample_rate * value * 1e-3)
+
+
+def make_odd(value: int) -> int:
+    return value if value & 1 else value + 1
+
+
+def time_str(length: int, sample_rate: int) -> str:
+    return str(timedelta(seconds=length // sample_rate))

@@ -1,0 +1,216 @@
+"""Unit parity tests for the DSP kernel library vs scipy/numpy oracles.
+
+The reference implementation delegates its hot kernels to scipy/numpy
+(SURVEY.md §2.2); scipy is available here, so each JAX kernel is checked
+directly against the same scipy call the reference makes.
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import signal
+from scipy.ndimage import maximum_filter1d
+
+from matchering_tpu.ops import basics, convolve, fir, iir, sliding, spectrum
+
+
+class TestBasics:
+    def test_lr_ms_roundtrip(self, rng):
+        x = rng.randn(1000, 2)
+        mid, side = basics.lr_to_ms(jnp.asarray(x))
+        mid_ref = (x[:, 0] + x[:, 1]) / 2
+        side_ref = (x[:, 0] - x[:, 1]) / 2
+        np.testing.assert_allclose(np.asarray(mid), mid_ref, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(side), side_ref, atol=1e-12)
+        back = basics.ms_to_lr(mid, side)
+        np.testing.assert_allclose(np.asarray(back), x, atol=1e-12)
+
+    def test_rms_and_batch_rms(self, rng):
+        x = rng.randn(777)
+        expected = np.sqrt(x @ x / x.shape[0])
+        np.testing.assert_allclose(float(basics.rms(jnp.asarray(x))), expected, rtol=1e-12)
+        pieces = rng.randn(5, 321)
+        expected_b = np.sqrt(np.einsum("ij,ij->i", pieces, pieces) / 321)
+        np.testing.assert_allclose(
+            np.asarray(basics.batch_rms(jnp.asarray(pieces))), expected_b, rtol=1e-12
+        )
+
+    def test_loudest_piece_stats_matches_boolean_indexing(self, rng):
+        rmses = np.abs(rng.randn(23))
+        avg = np.sqrt(rmses @ rmses / rmses.shape[0])
+        sel = rmses[rmses >= avg]
+        expected = np.sqrt(sel @ sel / sel.shape[0])
+        mask, match_rms = basics.loudest_piece_stats(jnp.asarray(rmses))
+        np.testing.assert_allclose(float(match_rms), expected, rtol=1e-12)
+        np.testing.assert_array_equal(np.asarray(mask), (rmses >= avg).astype(float))
+
+    @pytest.mark.parametrize("normalize_clipped", [False, True])
+    def test_normalize(self, rng, normalize_clipped):
+        threshold, eps = 0.9981, 1e-6
+        for scale in (0.3, 1.5):
+            x = rng.randn(1000, 2) * scale / 3
+            maxv = np.abs(x).max()
+            coeff = 1.0
+            if maxv < threshold or normalize_clipped:
+                coeff = max(eps, maxv / threshold)
+            out, c = basics.normalize(jnp.asarray(x), threshold, eps, normalize_clipped)
+            np.testing.assert_allclose(float(c), coeff, rtol=1e-12)
+            np.testing.assert_allclose(np.asarray(out), x / coeff, rtol=1e-12)
+
+    def test_rectify(self, rng):
+        x = rng.randn(500, 2) * 0.8
+        threshold = 0.5
+        r = np.abs(x).max(1)
+        r[r <= threshold] = threshold
+        r = r / threshold
+        np.testing.assert_allclose(
+            np.asarray(basics.rectify(jnp.asarray(x), threshold)), r, rtol=1e-12
+        )
+
+    def test_count_max_peaks(self):
+        x = np.array([[0.5, -1.0], [1.0, 0.3], [-1.0, 0.2], [0.9999999, 0.0]])
+        maxv, count = basics.count_max_peaks(jnp.asarray(x))
+        ref_max = np.abs(x).max()
+        ref_count = np.count_nonzero(
+            np.isclose(x, ref_max) | np.isclose(x, -ref_max)
+        )
+        assert float(maxv) == ref_max
+        assert int(count) == ref_count
+
+    def test_fade(self, rng):
+        x = rng.randn(100, 2)
+        out = np.asarray(basics.fade(jnp.asarray(x), 10))
+        ramp = np.linspace(0, 1, 10)
+        np.testing.assert_allclose(out[:10], x[:10] * ramp[:, None], atol=1e-12)
+        np.testing.assert_allclose(out[-10:], x[-10:] * ramp[::-1][:, None], atol=1e-12)
+        np.testing.assert_allclose(out[10:-10], x[10:-10], atol=1e-15)
+
+
+class TestSlidingMax:
+    @pytest.mark.parametrize("size", [1, 3, 4, 44, 45, 89, 128])
+    def test_matches_ndimage(self, rng, size):
+        x = rng.randn(2000)
+        expected = maximum_filter1d(x, size=size)
+        got = np.asarray(sliding.max_filter1d(jnp.asarray(x), size))
+        np.testing.assert_array_equal(got, expected)
+
+    @pytest.mark.parametrize("window", [44, 45, 89])
+    def test_attack_mode(self, rng, window):
+        x = np.abs(rng.randn(5000))
+        odd = window if window % 2 else window + 1
+        expected = maximum_filter1d(x, size=2 * odd - 1)
+        got = np.asarray(sliding.sliding_max_attack(jnp.asarray(x), window))
+        np.testing.assert_array_equal(got, expected)
+
+    @pytest.mark.parametrize("window", [44, 45])
+    def test_hold_mode(self, rng, window):
+        x = np.abs(rng.randn(5000))
+        half = (window - 1) // 2
+        padded = np.pad(x, (half, 0))
+        expected = maximum_filter1d(padded, size=window)[:-half]
+        got = np.asarray(sliding.sliding_max_hold(jnp.asarray(x), window))
+        assert got.shape == expected.shape
+        np.testing.assert_array_equal(got, expected)
+
+
+class TestIIR:
+    def test_butter1_matches_scipy(self):
+        for cutoff in (7.0, 800.0 / 3000.0):
+            b, a = signal.butter(1, cutoff, fs=44100)
+            f = iir.butter1_coefficients(cutoff, 44100)
+            np.testing.assert_allclose([f.b0, f.b1], b, rtol=1e-12)
+            np.testing.assert_allclose([1.0, f.a1], a, rtol=1e-12)
+
+    def test_lfilter_first_order(self, rng):
+        x = rng.randn(10000)
+        b, a = signal.butter(1, 7.0, fs=44100)
+        expected = signal.lfilter(b, a, x)
+        f = iir.butter1_coefficients(7.0, 44100)
+        got = np.asarray(iir.lfilter_first_order(f, jnp.asarray(x)))
+        np.testing.assert_allclose(got, expected, rtol=1e-9, atol=1e-12)
+
+    def test_lfilter_zi(self):
+        c = math.exp(-2.0 / 44)
+        f = iir.FirstOrderFilter(b0=1 - c, b1=0.0, a1=-c)
+        expected = signal.lfilter_zi([1 - c], [1, -c])[0]
+        np.testing.assert_allclose(f.zi(), expected, rtol=1e-12)
+
+    def test_filtfilt_first_order(self, rng):
+        x = np.abs(rng.randn(8000))
+        c = math.exp(-2.0 / 44)
+        b, a = [1 - c], [1, -c]
+        expected = signal.filtfilt(b, a, x)
+        f = iir.FirstOrderFilter(b0=1 - c, b1=0.0, a1=-c)
+        got = np.asarray(iir.filtfilt_first_order(f, jnp.asarray(x)))
+        np.testing.assert_allclose(got, expected, rtol=1e-8, atol=1e-10)
+
+    def test_lfilter_with_zi(self, rng):
+        x = rng.randn(500)
+        b, a = signal.butter(1, 0.05)
+        zi = signal.lfilter_zi(b, a) * x[0]
+        expected, _ = signal.lfilter(b, a, x, zi=zi)
+        f = iir.FirstOrderFilter(b0=b[0], b1=b[1], a1=a[1])
+        got = np.asarray(iir.lfilter_first_order(f, jnp.asarray(x), zi=float(zi[0])))
+        np.testing.assert_allclose(got, expected, rtol=1e-9, atol=1e-12)
+
+
+class TestSpectrum:
+    def test_masked_average_matches_scipy_stft(self, rng):
+        fft_size = 256
+        piece_size = 1000  # 3 full frames, tail dropped
+        pieces = rng.randn(7, piece_size)
+        mask = np.array([1, 0, 1, 1, 0, 0, 1], dtype=float)
+        selected = pieces[mask.astype(bool)]
+        *_, specs = signal.stft(
+            selected,
+            44100,
+            window="boxcar",
+            nperseg=fft_size,
+            noverlap=0,
+            boundary=None,
+            padded=False,
+        )
+        expected = np.abs(specs).mean((0, 2))
+        got = np.asarray(
+            spectrum.masked_average_spectrum(
+                jnp.asarray(pieces), jnp.asarray(mask), fft_size
+            )
+        )
+        np.testing.assert_allclose(got, expected, rtol=1e-10, atol=1e-14)
+
+
+class TestFir:
+    def test_hann_matches_scipy(self):
+        expected = signal.windows.hann(4096)
+        got = np.asarray(fir.hann_symmetric(4096, jnp.float64))
+        np.testing.assert_allclose(got, expected, atol=1e-12)
+
+    def test_fir_synthesis(self, rng):
+        fft_size = 512
+        curve = np.abs(rng.randn(fft_size // 2 + 1)) + 0.1
+        expected = np.fft.ifftshift(np.fft.irfft(curve)) * signal.windows.hann(fft_size)
+        got = np.asarray(fir.fir_from_magnitude(jnp.asarray(curve), fft_size))
+        np.testing.assert_allclose(got, expected, atol=1e-12)
+
+
+class TestConvolve:
+    @pytest.mark.parametrize("n", [1000, 5000, 300000])
+    def test_matches_fftconvolve_same(self, rng, n):
+        x = rng.randn(n)
+        h = rng.randn(257)
+        expected = signal.fftconvolve(x, h, "same")
+        got = np.asarray(
+            convolve.fft_convolve_same(jnp.asarray(x), jnp.asarray(h), block_fft=1 << 14)
+        )
+        np.testing.assert_allclose(got, expected, rtol=1e-7, atol=1e-8)
+
+    def test_even_fir_alignment(self, rng):
+        x = rng.randn(4096)
+        h = rng.randn(512)  # even taps — 'same' centering must match scipy
+        expected = signal.fftconvolve(x, h, "same")
+        got = np.asarray(
+            convolve.fft_convolve_same(jnp.asarray(x), jnp.asarray(h), block_fft=1 << 12)
+        )
+        np.testing.assert_allclose(got, expected, rtol=1e-7, atol=1e-8)
