@@ -191,7 +191,11 @@ class Config:
             "temp_folder must be a string path or None",
         )
         _require(isinstance(self.limiter, LimiterConfig), "limiter: LimiterConfig")
-        _require(self.dtype in ("float32", "bfloat16"), "dtype: float32|bfloat16")
+        _require(
+            self.dtype in ("float32", "bfloat16", "float64"),
+            "dtype: float32|bfloat16|float64 (float64 is CPU-only, for oracle "
+            "parity testing)",
+        )
 
     # Derived quantities -------------------------------------------------
 

@@ -118,6 +118,105 @@ def filtfilt_first_order(filt: FirstOrderFilter, x: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# General order-n filters (non-default hold/release orders)
+
+
+def butter_coefficients(order: int, cutoff_hz: float, fs: float):
+    """Digital Butterworth low-pass design, identical to
+    ``scipy.signal.butter(order, cutoff_hz, fs=fs)``.  Host-side only —
+    returns (b, a) as tuples of Python floats."""
+    if order == 1:
+        f = butter1_coefficients(cutoff_hz, fs)
+        return (f.b0, f.b1), (1.0, f.a1)
+    from scipy import signal as _signal  # host-side design math only
+
+    b, a = _signal.butter(order, cutoff_hz, fs=fs)
+    return tuple(float(v) for v in b), tuple(float(v) for v in a)
+
+
+def butter_lowpass(order: int, cutoff_hz: float, fs: float, x: jax.Array) -> jax.Array:
+    """Apply an order-``order`` Butterworth low-pass with zero initial state,
+    matching ``scipy.signal.lfilter(*scipy.signal.butter(order, f, fs=fs), x)``.
+
+    Order 1 uses the exact closed-form design; higher orders run as a cascade
+    of second-order sections (``scipy.signal.butter(..., output='sos')``,
+    host-side design only) — each biquad is a 2x2 affine matrix scan, which
+    stays well-conditioned where a single order-n companion scan would lose
+    precision (poles near the unit circle).
+    """
+    if order == 1:
+        f = butter1_coefficients(cutoff_hz, fs)
+        return lfilter_first_order(f, x)
+    from scipy import signal as _signal  # host-side design math only
+
+    sos = _signal.butter(order, cutoff_hz, fs=fs, output="sos")
+    for section in sos:
+        b0, b1, b2, a0, a1, a2 = (float(v) for v in section)
+        x = lfilter((b0, b1, b2), (a0, a1, a2), x)
+    return x
+
+
+def lfilter(b, a, x: jax.Array) -> jax.Array:
+    """``scipy.signal.lfilter(b, a, x)`` with zero initial state, any order.
+
+    Transposed direct-form II.  The internal state vector
+    ``s[i] = (z1[i], ..., zn[i])`` obeys the causal linear recurrence
+
+        z_k[i] = z_{k+1}[i-1] - a_k*z1[i-1] + (b_k - a_k*b0)*x[i]
+        z_n[i] =              - a_n*z1[i-1] + (b_n - a_n*b0)*x[i]
+
+    (obtained by substituting ``y[i] = b0*x[i] + z1[i-1]`` into the DF2T
+    update equations), i.e. ``s[i] = A s[i-1] + B x[i]`` — solved with one
+    ``associative_scan`` over (A, B·x[i]) affine pairs of (n, n) matrices,
+    O(n^2) per sample at O(log N) depth.  ``b``/``a`` are host floats.
+    """
+    b = [float(v) for v in b]
+    a = [float(v) for v in a]
+    a0 = a[0]
+    b = [v / a0 for v in b]
+    a = [v / a0 for v in a]
+    n = max(len(a), len(b)) - 1
+    if n == 1:
+        return lfilter_first_order(
+            FirstOrderFilter(
+                b0=b[0],
+                b1=b[1] if len(b) > 1 else 0.0,
+                a1=a[1] if len(a) > 1 else 0.0,
+            ),
+            x,
+        )
+    import numpy as _np
+
+    bp = _np.zeros(n + 1)
+    bp[: len(b)] = b
+    ap = _np.zeros(n + 1)
+    ap[: len(a)] = a
+
+    A = _np.zeros((n, n))
+    Bv = _np.empty(n)
+    for k in range(1, n + 1):
+        A[k - 1, 0] -= ap[k]
+        if k < n:
+            A[k - 1, k] += 1.0
+        Bv[k - 1] = bp[k] - ap[k] * bp[0]
+
+    dtype = x.dtype
+    A_j = jnp.asarray(A, dtype=dtype)
+    B_j = jnp.asarray(Bv, dtype=dtype)
+    drives = x[:, None] * B_j[None, :]
+    A_rep = jnp.broadcast_to(A_j, (x.shape[0], n, n))
+
+    def combine(left, right):
+        a1, u1 = left
+        a2, u2 = right
+        return a2 @ a1, jnp.einsum("...ij,...j->...i", a2, u1) + u2
+
+    _, s = jax.lax.associative_scan(combine, (A_rep, drives))
+    z1_prev = jnp.concatenate([jnp.zeros((1,), dtype=dtype), s[:-1, 0]])
+    return bp[0] * x + z1_prev
+
+
+# ---------------------------------------------------------------------------
 # Block-parallel building blocks (used by the time-sharded path)
 
 

@@ -1,0 +1,104 @@
+"""Data-parallel mastering of (target, reference) pair batches.
+
+The mastering-farm configuration from BASELINE.md (``with_preview.py`` 64-pair
+batch, 1024-pair pod scale): independent pairs are sharded over the ``pairs``
+mesh axis with ``NamedSharding`` and the whole batch runs as one jitted
+``vmap`` of the mastering graph — zero cross-pair communication, so scaling
+is limited only by input pipeline and per-chip throughput.
+
+Shape contract: one compiled executable per (batch_shape, config).  Pairs in
+a batch share the padded lengths (t_len, r_len); callers bucket tracks by
+length (``bucket_pad``) exactly like any production serving batcher.  Piece
+division inside the graph uses the *bucket* length; per-track true lengths
+are not carried (the reference analyzes the exact track length — for parity
+on a specific track use the single-pair path; the batch path is the
+throughput surface).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Config
+from ..stages import MasterOutput, master_graph
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config",
+        "need_default",
+        "need_no_limiter",
+        "need_no_limiter_normalized",
+    ),
+)
+def _master_vmapped(
+    targets: jax.Array,
+    references: jax.Array,
+    config: Config,
+    need_default: bool,
+    need_no_limiter: bool,
+    need_no_limiter_normalized: bool,
+) -> MasterOutput:
+    return jax.vmap(
+        lambda t, r: master_graph(
+            t,
+            r,
+            config,
+            need_default=need_default,
+            need_no_limiter=need_no_limiter,
+            need_no_limiter_normalized=need_no_limiter_normalized,
+        )
+    )(targets, references)
+
+
+def master_batch(
+    targets: jax.Array,
+    references: jax.Array,
+    config: Config = Config(),
+    mesh: Optional[Mesh] = None,
+    need_default: bool = True,
+    need_no_limiter: bool = False,
+    need_no_limiter_normalized: bool = False,
+) -> MasterOutput:
+    """Master a batch of pairs: targets (B, n, 2) x references (B, m, 2).
+
+    With a mesh, the batch axis is sharded over the ``pairs`` mesh axis
+    before dispatch; without one, the batch runs on the default device.
+    """
+    if mesh is not None:
+        pspec = P("pairs", None, None)
+        targets = jax.device_put(targets, NamedSharding(mesh, pspec))
+        references = jax.device_put(references, NamedSharding(mesh, pspec))
+    return _master_vmapped(
+        targets,
+        references,
+        config,
+        need_default,
+        need_no_limiter,
+        need_no_limiter_normalized,
+    )
+
+
+def bucket_pad(
+    tracks: Sequence[np.ndarray], multiple: int = 1 << 18
+) -> Tuple[np.ndarray, List[int]]:
+    """Zero-pad a list of (n_i, 2) tracks to a shared bucket length.
+
+    Returns the stacked (B, n_pad, 2) batch and the true lengths.  Zero
+    padding is RMS-neutral only approximately (it adds silent tail to the
+    analysis); production callers should bucket by similar length to bound
+    the distortion, as with any padded-batch serving system.
+    """
+    lengths = [t.shape[0] for t in tracks]
+    n_pad = -(-max(lengths) // multiple) * multiple
+    batch = np.zeros((len(tracks), n_pad, tracks[0].shape[1]), dtype=tracks[0].dtype)
+    for i, t in enumerate(tracks):
+        batch[i, : t.shape[0]] = t
+    return batch, lengths

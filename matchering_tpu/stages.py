@@ -1,0 +1,248 @@
+"""The mastering core — one pure, jittable JAX function.
+
+Behavioral parity with the reference stage driver (``matchering/stages.py:
+38-272`` and ``matchering/stage_helpers/``): level matching via piecewise
+loudest-chunk RMS, frequency matching via averaged framed spectra and a
+LOWESS-smoothed linear-phase FIR, iterative RMS correction, and the three
+output variants (limited / no-limiter / no-limiter-normalized).
+
+Architecture is deliberately *not* the reference's (mutable arrays threaded
+through staged procedures).  Here the entire master is a single pure function
+``master_graph`` over statically-shaped arrays, compiled once per
+(target_len, reference_len, config) by ``jax.jit``:
+
+* piece division (``match_levels.py:47-59``) is host-side Python on static
+  shapes — free at trace time, no dynamic shapes inside XLA;
+* the reference's ragged boolean-index "loudest pieces" gather
+  (``match_levels.py:62-71``) is a 0/1 mask; every downstream statistic
+  (RMS-of-RMSes, averaged spectra) is a mask-weighted reduction with
+  identical numerics (``ops.basics.masked_rms``,
+  ``ops.spectrum.masked_average_spectrum``);
+* the full-track FIR convolution (``match_frequencies.py:104-119``) runs as
+  batched overlap-save block FFTs (``ops.convolve``);
+* the RMS correction loop (``stages.py:138-170``) is a static unroll —
+  ``rms_correction_steps`` is config, known at trace time.
+
+Everything downstream of I/O — analysis, EQ, correction, limiter, variant
+rendering — is one XLA program: no host round-trips, fully fusable, and
+reusable under ``vmap`` (pair batching) and ``shard_map`` (time sharding).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import Config
+from .limiter import limit
+from .ops import basics, convolve, fir, smoothing, spectrum
+
+
+class MasterOutput(NamedTuple):
+    """Rendered variants (None where not requested) plus a report of scalar
+    diagnostics for host-side debug logging."""
+
+    result: Optional[jax.Array]
+    result_no_limiter: Optional[jax.Array]
+    result_no_limiter_normalized: Optional[jax.Array]
+    report: Dict[str, jax.Array]
+
+
+def piece_division(n: int, max_piece_size: int) -> Tuple[int, int]:
+    """Host-side piece split (reference ``match_levels.py:47-59``):
+    ``divisions = n // max_piece_size + 1``, ``piece_size = n // divisions``."""
+    divisions = n // max_piece_size + 1
+    piece_size = n // divisions
+    return divisions, piece_size
+
+
+def _analyze_levels(mid: jax.Array, side: jax.Array, divisions: int, piece_size: int):
+    """Unfold into pieces and compute loudest-piece statistics
+    (reference ``analyze_levels``, ``match_levels.py:134-161``)."""
+    unfolded_mid = basics.unfold(mid, piece_size, divisions)
+    unfolded_side = basics.unfold(side, piece_size, divisions)
+    rmses = basics.batch_rms(unfolded_mid)
+    mask, match_rms = basics.loudest_piece_stats(rmses)
+    return unfolded_mid, unfolded_side, mask, match_rms
+
+
+def _matching_fir(
+    target_pieces: jax.Array,
+    reference_pieces: jax.Array,
+    target_mask: jax.Array,
+    reference_mask: jax.Array,
+    target_gain: jax.Array,
+    config: Config,
+) -> jax.Array:
+    """Matching-EQ FIR for one of mid/side (reference ``get_fir``,
+    ``match_frequencies.py:78-99``).
+
+    ``target_gain`` is the RMS coefficient already applied to the full
+    target channel; |FFT| is positively homogeneous, so scaling the averaged
+    spectrum equals the reference's amplify-then-FFT
+    (``stages.py:87-91`` + ``match_frequencies.py:86``).
+    """
+    target_fft = (
+        spectrum.masked_average_spectrum(target_pieces, target_mask, config.fft_size)
+        * target_gain
+    )
+    reference_fft = spectrum.masked_average_spectrum(
+        reference_pieces, reference_mask, config.fft_size
+    )
+    matching_fft = reference_fft / jnp.maximum(config.min_value, target_fft)
+    smoothed = smoothing.smooth_exponentially(
+        matching_fft,
+        config.internal_sample_rate,
+        config.fft_size,
+        config.lin_log_oversampling,
+        config.lowess_frac,
+        config.lowess_it,
+        config.lowess_delta,
+    )
+    return fir.fir_from_magnitude(smoothed, config.fft_size)
+
+
+def master_graph(
+    target: jax.Array,
+    reference: jax.Array,
+    config: Config,
+    need_default: bool = True,
+    need_no_limiter: bool = False,
+    need_no_limiter_normalized: bool = False,
+) -> MasterOutput:
+    """The full mastering computation (trace-time body of :func:`master`).
+
+    target/reference: float (n, 2) stereo at ``config.internal_sample_rate``.
+    """
+    dtype = jnp.dtype(config.dtype)
+    target = jnp.asarray(target, dtype=dtype)
+    reference = jnp.asarray(reference, dtype=dtype)
+    report: Dict[str, jax.Array] = {}
+
+    # --- Stage 1: match levels (stages.py:38-104) ---
+    reference, final_amplitude_coefficient = basics.normalize(
+        reference, config.threshold, config.min_value, normalize_clipped=False
+    )
+    report["final_amplitude_coefficient"] = final_amplitude_coefficient
+
+    t_div, t_piece = piece_division(target.shape[0], config.max_piece_size)
+    r_div, r_piece = piece_division(reference.shape[0], config.max_piece_size)
+
+    target_mid, target_side = basics.lr_to_ms(target)
+    reference_mid, reference_side = basics.lr_to_ms(reference)
+
+    t_mid_pieces, t_side_pieces, t_mask, t_match_rms = _analyze_levels(
+        target_mid, target_side, t_div, t_piece
+    )
+    r_mid_pieces, r_side_pieces, r_mask, r_match_rms = _analyze_levels(
+        reference_mid, reference_side, r_div, r_piece
+    )
+    report["target_match_rms"] = t_match_rms
+    report["reference_match_rms"] = r_match_rms
+
+    rms_coefficient = r_match_rms / jnp.maximum(config.min_value, t_match_rms)
+    report["rms_coefficient"] = rms_coefficient
+    target_mid = target_mid * rms_coefficient
+    target_side = target_side * rms_coefficient
+
+    # --- Stage 2: match frequencies (stages.py:107-135) ---
+    mid_fir = _matching_fir(
+        t_mid_pieces, r_mid_pieces, t_mask, r_mask, rms_coefficient, config
+    )
+    side_fir = _matching_fir(
+        t_side_pieces, r_side_pieces, t_mask, r_mask, rms_coefficient, config
+    )
+
+    convolved = convolve.fft_convolve_same_batch(
+        jnp.stack([target_mid, target_side]), jnp.stack([mid_fir, side_fir])
+    )
+    result_mid = convolved[0]
+    result = basics.ms_to_lr(result_mid, convolved[1])
+
+    # --- Stage 3: RMS correction (stages.py:138-170), static unroll ---
+    for step in range(config.rms_correction_steps):
+        clipped = basics.clip(result_mid)
+        clipped_pieces = basics.unfold(clipped, t_piece, t_div)
+        clipped_rmses = basics.batch_rms(clipped_pieces)
+        _, clipped_match_rms = basics.loudest_piece_stats(clipped_rmses)
+        coefficient = r_match_rms / jnp.maximum(config.min_value, clipped_match_rms)
+        report[f"rms_correction_{step + 1}"] = coefficient
+        result_mid = result_mid * coefficient
+        result = result * coefficient
+
+    # --- Stage 4: finalize (stages.py:173-207) ---
+    result_no_limiter_normalized = None
+    if need_no_limiter_normalized:
+        result_no_limiter_normalized, normalized_coefficient = basics.normalize(
+            result, config.threshold, config.min_value, normalize_clipped=True
+        )
+        report["normalized_coefficient"] = normalized_coefficient
+
+    result_default = None
+    if need_default:
+        result_default = limit(result, config) * final_amplitude_coefficient
+
+    result_no_limiter = result if need_no_limiter else None
+
+    return MasterOutput(
+        result=result_default,
+        result_no_limiter=result_no_limiter,
+        result_no_limiter_normalized=result_no_limiter_normalized,
+        report=report,
+    )
+
+
+# Public jitted entry point: one compilation per (shapes, config, flags).
+master = jax.jit(
+    master_graph,
+    static_argnames=(
+        "config",
+        "need_default",
+        "need_no_limiter",
+        "need_no_limiter_normalized",
+    ),
+)
+
+
+def main(
+    target,
+    reference,
+    config: Config,
+    need_default: bool = True,
+    need_no_limiter: bool = False,
+    need_no_limiter_normalized: bool = False,
+):
+    """Reference-compatible stage driver (``matchering/stages.py:210-272``):
+    returns the (result, result_no_limiter, result_no_limiter_normalized)
+    triple as host numpy-convertible arrays.
+
+    The reference emits one progress code per stage as it mutates arrays in
+    place; here all four stages are a single fused XLA program, so the codes
+    stream out around that one execution (same codes, same order — remote
+    consumers keyed on ``LOG_CODES.md`` semantics keep working).
+    """
+    from .log import Code, debug, debug_line, info
+    from .utils import to_db
+
+    debug_line()
+    info(Code.INFO_MATCHING_LEVELS)
+    info(Code.INFO_MATCHING_FREQS)
+    info(Code.INFO_CORRECTING_LEVELS)
+    out = master(
+        target,
+        reference,
+        config,
+        need_default=need_default,
+        need_no_limiter=need_no_limiter,
+        need_no_limiter_normalized=need_no_limiter_normalized,
+    )
+    debug_line()
+    info(Code.INFO_FINALIZING)
+    for key, value in out.report.items():
+        try:
+            debug(f"{key}: {to_db(float(value))}")
+        except (ValueError, OverflowError):
+            debug(f"{key}: {float(value)}")
+    return out.result, out.result_no_limiter, out.result_no_limiter_normalized

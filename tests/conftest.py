@@ -44,3 +44,59 @@ def snr_db(reference: np.ndarray, test: np.ndarray) -> float:
 @pytest.fixture
 def snr():
     return snr_db
+
+
+# ---------------------------------------------------------------------------
+# Reference-as-oracle: import sergree/matchering from /root/reference with
+# stub modules for its unavailable deps (statsmodels -> our direct-loop
+# LOWESS oracle, resampy/soundfile -> inert shims).  The reference tree is
+# read-only and nothing from it is copied into this repo; it is executed as a
+# black-box numerical oracle only.
+
+
+@pytest.fixture(scope="session")
+def reference_matchering():
+    import sys
+    import types
+
+    import oracle_lowess
+
+    if "matchering" not in sys.modules:
+        sm = types.ModuleType("statsmodels")
+        sm_api = types.ModuleType("statsmodels.api")
+        sm_np = types.ModuleType("statsmodels.nonparametric")
+        sm_lo = types.ModuleType("statsmodels.nonparametric.smoothers_lowess")
+        sm_lo.lowess = oracle_lowess.lowess
+        sm_np.lowess = oracle_lowess.lowess
+        sm_api.nonparametric = sm_np
+
+        class _NP:
+            lowess = staticmethod(oracle_lowess.lowess)
+
+        sm.nonparametric = _NP()
+        sm.api = sm_api
+        sys.modules.setdefault("statsmodels", sm)
+        sys.modules.setdefault("statsmodels.api", sm_api)
+        sys.modules.setdefault("statsmodels.nonparametric", sm_np)
+        sys.modules.setdefault(
+            "statsmodels.nonparametric.smoothers_lowess", sm_lo
+        )
+
+        def _unavailable(*_a, **_k):
+            raise RuntimeError("resampy stub called — test must not resample")
+
+        rs = types.ModuleType("resampy")
+        rs.resample = _unavailable
+        sys.modules.setdefault("resampy", rs)
+
+        sf = types.ModuleType("soundfile")
+        sf.check_format = lambda *_a, **_k: True
+        sf.read = _unavailable
+        sf.write = _unavailable
+        sys.modules.setdefault("soundfile", sf)
+
+        sys.path.insert(0, "/root/reference")
+
+    import matchering
+
+    return matchering
