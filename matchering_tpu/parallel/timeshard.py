@@ -620,3 +620,91 @@ def master_sharded(
         result_no_limiter_normalized=trim(out.result_no_limiter_normalized),
         report=out.report,
     )
+
+
+def master_farm(
+    targets,
+    references,
+    config: Config = Config(),
+    mesh: Optional[Mesh] = None,
+    pairs_axis: str = "pairs",
+    time_axis: str = "time",
+    need_default: bool = True,
+    need_no_limiter: bool = False,
+    need_no_limiter_normalized: bool = False,
+) -> MasterOutput:
+    """Pod-scale mastering farm: a batch of pairs sharded over the 2-D
+    ``(pairs, time)`` mesh — data parallelism across independent pairs on
+    the outer axis, sequence parallelism across time blocks on the inner
+    (ICI) axis.  The BASELINE.md "1024-pair batch, channels+time-blocks
+    sharded" configuration.
+
+    targets: (B, n, 2), references: (B, m, 2); B divisible by the pairs
+    axis; the batch shares one padded length per side (see
+    ``parallel.batch.bucket_pad``).  Time collectives never cross the pairs
+    axis, so cross-host traffic is zero when pairs maps to DCN.
+    """
+    if mesh is None:
+        from .mesh import make_mesh
+
+        mesh = make_mesh(pairs=1, time=len(jax.devices()))
+    n_time = mesh.shape[time_axis]
+    n_pairs = mesh.shape[pairs_axis]
+
+    targets = jnp.asarray(targets)
+    references = jnp.asarray(references)
+    if targets.shape[0] % n_pairs:
+        raise ValueError(
+            f"batch {targets.shape[0]} not divisible by pairs axis {n_pairs}"
+        )
+    t_len, r_len = targets.shape[1], references.shape[1]
+    t_div, t_piece = piece_division(t_len, config.max_piece_size)
+    r_div, r_piece = piece_division(r_len, config.max_piece_size)
+
+    def pad(x):
+        n = x.shape[1]
+        n_pad = -(-n // n_time) * n_time
+        return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    targets_p = pad(targets)
+    references_p = pad(references)
+
+    body = functools.partial(
+        _master_sharded_body,
+        config=config,
+        t_len=t_len,
+        t_div=t_div,
+        t_piece=t_piece,
+        r_div=r_div,
+        r_piece=r_piece,
+        need_default=need_default,
+        need_no_limiter=need_no_limiter,
+        need_no_limiter_normalized=need_no_limiter_normalized,
+        axis=time_axis,
+    )
+
+    spec = P(pairs_axis, time_axis, None)
+    out_specs = MasterOutput(
+        result=spec if need_default else None,
+        result_no_limiter=spec if need_no_limiter else None,
+        result_no_limiter_normalized=spec if need_no_limiter_normalized else None,
+        report=P(pairs_axis),
+    )
+    sharded = shard_map(
+        lambda tl, rl: jax.vmap(body)(tl, rl),
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    out = jax.jit(sharded)(targets_p, references_p)
+
+    def trim(x):
+        return None if x is None else x[:, :t_len]
+
+    return MasterOutput(
+        result=trim(out.result),
+        result_no_limiter=trim(out.result_no_limiter),
+        result_no_limiter_normalized=trim(out.result_no_limiter_normalized),
+        report=out.report,
+    )
