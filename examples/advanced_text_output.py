@@ -1,0 +1,41 @@
+"""Custom log handlers (reference ``examples/advanced_text_output.py``)."""
+
+from datetime import datetime
+
+import matchering_tpu as mg
+
+
+# A basic text output function that also prints the current datetime
+def my_print(text):
+    print(f"{datetime.now()}: {text}")
+
+
+# The information output will be marked with a prefix
+def info(text):
+    my_print(f"INFO: {text}")
+
+
+# The warning output will be highlighted with exclamation marks
+def warning(text):
+    my_print(f"! {text} !")
+
+
+# Debug output stays plain
+def debug(text):
+    my_print(text)
+
+
+mg.log(
+    info_handler=info,
+    warning_handler=warning,
+    debug_handler=debug,
+    # Show the machine-readable four-digit codes next to the text
+    # (LOG_CODES.md semantics, same numbering as the reference)
+    show_codes=True,
+)
+
+mg.process(
+    target="my_song.wav",
+    reference="some_popular_song.wav",
+    results=[mg.pcm16("my_song_master_16bit.wav")],
+)

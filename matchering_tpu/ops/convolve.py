@@ -42,24 +42,29 @@ def fft_convolve_same(
         out = jnp.fft.irfft(spec, n=single)
         return out[start : start + n]
 
+    from .blocks import overlapping_blocks
+
     nfft = block_fft
-    hop = nfft - (taps - 1)  # new samples consumed per block
+    # Discard a 128-aligned prefix per block (>= taps-1 covers the circular
+    # wrap).  Alignment matters for the XLA *compiler*: the overlapping
+    # block matrix is built from two shifted reshapes (no gathers — TPU
+    # gather compiles are pathologically slow), and 128-multiple lane
+    # splits compile ~25x faster than odd ones (measured: 6 s vs 148 s for
+    # a 180 s track).
+    discard = -(-(taps - 1) // 128) * 128
+    hop = nfft - discard  # new samples consumed per block
     nblocks = -(-full // hop)
 
-    # Block b produces full-convolution outputs [b*hop, b*hop + hop) from
-    # x-samples [b*hop - (taps-1), b*hop + hop); pad so every block reads
-    # in-bounds.
-    lead = taps - 1
-    padded = jnp.pad(x, (lead, nblocks * hop - n))
-    starts = jnp.arange(nblocks) * hop
-    blocks = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(padded, (s,), (nfft,))
-    )(starts)
+    # Block b covers full-convolution outputs [b*hop, b*hop + hop), reading
+    # padded samples [b*hop, b*hop + nfft) where padded has `discard` leading
+    # zeros; pad the tail so every reshape part is in-bounds.
+    padded = jnp.pad(x, (discard, (nblocks + 1) * hop - n - discard))
+    blocks = overlapping_blocks(padded, nblocks, hop, nfft)
 
     h = jnp.fft.rfft(fir, n=nfft)
     specs = jnp.fft.rfft(blocks, axis=-1)
     segs = jnp.fft.irfft(specs * h[None, :], n=nfft, axis=-1)
-    out = segs[:, lead:].reshape(-1)  # discard circular wrap, keep hop each
+    out = segs[:, discard:].reshape(-1)  # drop circular wrap, keep hop each
     return out[start : start + n]
 
 

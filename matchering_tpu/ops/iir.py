@@ -78,11 +78,44 @@ def _affine_combine(left, right):
     return a1 * a2, a2 * u1 + u2
 
 
+_SCAN_BLOCK = 1 << 15
+
+
 def scan_first_order(drive: jax.Array, pole: jax.Array) -> jax.Array:
-    """Solve y[i] = drive[i] + pole * y[i-1], y[-1] = 0, via associative scan."""
-    poles = jnp.broadcast_to(jnp.asarray(pole, dtype=drive.dtype), drive.shape)
-    _, y = jax.lax.associative_scan(_affine_combine, (poles, drive))
-    return y
+    """Solve y[i] = drive[i] + pole * y[i-1], y[-1] = 0.
+
+    Short signals: one ``associative_scan`` (O(log n) depth).  Long signals:
+    ``lax.scan`` over ``_SCAN_BLOCK``-sample blocks, each block an
+    associative scan plus an affine carry ``y = local + pole^(i+1) * c`` —
+    the same blocked-recurrence math as the time-sharded path.  The blocked
+    form exists for the XLA *compiler*: a flat associative scan over
+    millions of samples emits log2(n) full-size HLO stages (~60 s compile
+    per scan on TPU), while the block loop compiles one small body and
+    reuses it, at equal runtime.
+    """
+    dtype = drive.dtype
+    pole_arr = jnp.asarray(pole, dtype=dtype)
+    n = drive.shape[0]
+    if n <= 2 * _SCAN_BLOCK:
+        poles = jnp.broadcast_to(pole_arr, drive.shape)
+        _, y = jax.lax.associative_scan(_affine_combine, (poles, drive))
+        return y
+
+    block = _SCAN_BLOCK
+    nblocks = -(-n // block)
+    padded = jnp.pad(drive, (0, nblocks * block - n))
+    blocks = padded.reshape(nblocks, block)
+    powers = pole_arr ** jnp.arange(1, block + 1, dtype=dtype)
+    a_block = pole_arr ** block
+
+    def step(carry, drive_block):
+        poles = jnp.broadcast_to(pole_arr, drive_block.shape)
+        _, local = jax.lax.associative_scan(_affine_combine, (poles, drive_block))
+        y = local + powers * carry
+        return a_block * carry + local[-1], y
+
+    _, ys = jax.lax.scan(step, jnp.zeros((), dtype), blocks)
+    return ys.reshape(-1)[:n]
 
 
 def lfilter_first_order(

@@ -132,14 +132,13 @@ def resample(x: jax.Array, sr_in: int, sr_out: int) -> jax.Array:
     width = plan.weights.shape[1]
 
     # window b reads input samples [b*block_in - reach, b*block_in + block_in + reach]
-    pad_left = plan.reach
-    pad_right = max(0, (nblocks - 1) * block_in + width - pad_left - n)
-    padded = jnp.pad(x, ((pad_left, pad_right), (0, 0)))
+    from .blocks import overlapping_blocks
 
-    starts = jnp.arange(nblocks) * block_in
-    windows = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(padded, (s, 0), (width, x.shape[1]))
-    )(starts)  # (nblocks, width, ch)
+    parts = -(-width // block_in)
+    pad_left = plan.reach
+    pad_right = max(0, (nblocks - 1 + parts) * block_in - pad_left - n)
+    padded = jnp.pad(x, ((pad_left, pad_right), (0, 0)))
+    windows = overlapping_blocks(padded, nblocks, block_in, width)
 
     w = jnp.asarray(plan.weights, dtype=x.dtype)
     out = jnp.einsum("bwc,ow->boc", windows, w)  # (nblocks, block_out, ch)

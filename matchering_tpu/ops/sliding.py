@@ -26,18 +26,23 @@ def _van_herk_start_max(padded: jax.Array, window: int) -> jax.Array:
     """max over padded[j : j + window] for every valid start j.
 
     Returns an array of length len(padded) - window + 1.
+
+    Doubling scheme: maintain ``out[j] = max(padded[j : j + span])`` and
+    widen ``span`` by shifted-max steps until it reaches ``window`` —
+    ceil(log2(window)) full-length elementwise maxima, no reshapes, no
+    cumulative scans.  (The classic van Herk block-cummax form runs equally
+    fast but its odd-lane block layouts cost ~40 s of XLA compile time on
+    TPU; this form compiles in well under a second at identical runtime —
+    measured on a 180 s track, see git history.)
     """
-    m = padded.shape[0]
-    n_out = m - window + 1
-    blocks = -(-m // window)
-    x = jnp.pad(padded, (0, blocks * window - m), constant_values=-jnp.inf)
-    x = x.reshape(blocks, window)
-    prefix = jax.lax.cummax(x, axis=1).reshape(-1)
-    suffix = jax.lax.cummax(x[:, ::-1], axis=1)[:, ::-1].reshape(-1)
-    # A window starting at j spans at most two blocks: [j .. block_end] is
-    # covered by suffix[j], [next_block_start .. j+window-1] by
-    # prefix[j+window-1].
-    return jnp.maximum(suffix[:n_out], prefix[window - 1 : window - 1 + n_out])
+    out = padded
+    span = 1
+    while span < window:
+        step = min(span, window - span)
+        cur = out.shape[0]
+        out = jnp.maximum(out[: cur - step], out[step:])
+        span += step
+    return out  # length m - window + 1
 
 
 def max_filter1d(array: jax.Array, size: int) -> jax.Array:

@@ -30,16 +30,31 @@ def _window_count(n: int, window: int, step: int) -> int:
 @functools.partial(jax.jit, static_argnames=("window", "step"))
 def _loudest_window_index(result: jax.Array, window: int, step: int) -> jax.Array:
     """argmax over strided windows of the result's RMS
-    (reference ``preview_creator.py:47-54``)."""
-    count = _window_count(result.shape[0], window, step)
+    (reference ``preview_creator.py:47-54``, where windows are ``as_strided``
+    views).  Materializing (count, window, 2) windows would be GBs for a
+    full track, so the window energies are assembled from per-step segment
+    sums: window b = steps b .. b+window//step-1 plus a width-(window%step)
+    partial — O(n) work, no gathers."""
+    n = result.shape[0]
+    count = _window_count(n, window, step)
     if count == 1:
         return jnp.asarray(0)
-    starts = jnp.arange(count) * step
-    pieces = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(result, (s, 0), (window, result.shape[1]))
-    )(starts)
-    rmses = jnp.sqrt(jnp.mean(jnp.square(pieces), axis=(1, 2)))
-    return jnp.argmax(rmses)
+    energy = jnp.sum(jnp.square(result), axis=1)  # per-sample, both channels
+    nseg = n // step
+    seg = jnp.sum(energy[: nseg * step].reshape(nseg, step), axis=1)
+    k, r = divmod(window, step)
+    # sum of k consecutive segments starting at b, for b in [0, count)
+    cums = jnp.concatenate([jnp.zeros((1,), energy.dtype), jnp.cumsum(seg)])
+    sums = cums[k : k + count] - cums[:count]
+    if r:
+        # remainder of window b: energy[(b+k)*step : (b+k)*step + r), for
+        # b in [0, count) — a shifted reshape starting at k*step
+        tail = energy[k * step :]
+        tail = jnp.pad(tail, (0, count * step - tail.shape[0])) if (
+            tail.shape[0] < count * step
+        ) else tail[: count * step]
+        sums = sums + jnp.sum(tail.reshape(count, step)[:, :r], axis=1)
+    return jnp.argmax(sums)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "step", "fade_size", "threshold"))
