@@ -7,10 +7,24 @@ LOWESS smoothing, cubic-grid resampling operators and polyphase sample-rate
 conversion.
 """
 
-from . import basics, convolve, fir, iir, lowess, resample, sliding, smoothing, spectrum
+from . import (
+    basics,
+    blocks,
+    convolve,
+    fftpack,
+    fir,
+    iir,
+    lowess,
+    resample,
+    sliding,
+    smoothing,
+    spectrum,
+)
 
 __all__ = [
     "basics",
+    "blocks",
+    "fftpack",
     "convolve",
     "fir",
     "iir",

@@ -37,9 +37,14 @@ def overlapping_blocks(
             f"(nblocks={nblocks}, hop={hop}, width={width})"
         )
     trailing = x.shape[1:]
-    parts = [
-        x[k * hop : (k * hop + nblocks * hop)].reshape((nblocks, hop) + trailing)
-        for k in range(parts_needed)
-    ]
-    stacked = jnp.concatenate(parts, axis=1)
-    return stacked[:, :width]
+    parts = []
+    for k in range(parts_needed):
+        cols = min(hop, width - k * hop)
+        part = x[k * hop : (k * hop + nblocks * hop)].reshape(
+            (nblocks, hop) + trailing
+        )
+        # slice each part to its needed columns BEFORE concatenating — an
+        # oversized concat-then-slice stalls the XLA TPU layout passes for
+        # minutes at these shapes
+        parts.append(part[:, :cols] if cols != hop else part)
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]

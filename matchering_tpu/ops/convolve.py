@@ -18,6 +18,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from . import fftpack
+
 
 def _next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length()
@@ -39,7 +41,7 @@ def fft_convolve_same(
     single = _next_pow2(full)
     if single <= block_fft:
         spec = jnp.fft.rfft(x, n=single) * jnp.fft.rfft(fir, n=single)
-        out = jnp.fft.irfft(spec, n=single)
+        out = fftpack.irfft(spec, n=single)
         return out[start : start + n]
 
     from .blocks import overlapping_blocks
@@ -63,7 +65,7 @@ def fft_convolve_same(
 
     h = jnp.fft.rfft(fir, n=nfft)
     specs = jnp.fft.rfft(blocks, axis=-1)
-    segs = jnp.fft.irfft(specs * h[None, :], n=nfft, axis=-1)
+    segs = fftpack.irfft(specs * h[None, :], n=nfft, axis=-1)
     out = segs[:, discard:].reshape(-1)  # drop circular wrap, keep hop each
     return out[start : start + n]
 

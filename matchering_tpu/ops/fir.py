@@ -10,6 +10,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from . import fftpack
+
 
 def hann_symmetric(n: int, dtype) -> jax.Array:
     """``scipy.signal.windows.hann(n)`` (symmetric):
@@ -21,6 +23,6 @@ def hann_symmetric(n: int, dtype) -> jax.Array:
 def fir_from_magnitude(curve: jax.Array, fft_size: int) -> jax.Array:
     """Magnitude curve (fft_size//2+1,) -> windowed linear-phase FIR
     (fft_size,)."""
-    impulse = jnp.fft.irfft(curve, n=fft_size)
+    impulse = fftpack.irfft(curve, n=fft_size)
     impulse = jnp.fft.ifftshift(impulse)
     return impulse * hann_symmetric(fft_size, impulse.dtype)

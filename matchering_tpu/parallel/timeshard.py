@@ -44,7 +44,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config
-from ..ops import basics, fir as fir_ops, iir, smoothing
+from ..ops import basics, fftpack, fir as fir_ops, iir, smoothing
 from ..stages import MasterOutput, piece_division
 from ..utils import make_odd, ms_to_samples
 
@@ -90,7 +90,7 @@ def _fft_convolve_full(x: jax.Array, h: jax.Array) -> jax.Array:
     n = x.shape[0] + h.shape[0] - 1
     nfft = 1 << (n - 1).bit_length()
     spec = jnp.fft.rfft(x, n=nfft) * jnp.fft.rfft(h, n=nfft)
-    return jnp.fft.irfft(spec, n=nfft)[:n]
+    return fftpack.irfft(spec, n=nfft)[:n]
 
 
 def convolve_same_sharded(x_local: jax.Array, h: jax.Array, axis: str) -> jax.Array:
