@@ -49,23 +49,34 @@ def main():
     config = mg.Config()
 
     device = jax.devices()[0]
-    target_d = jax.device_put(target, device)
-    reference_d = jax.device_put(reference, device)
+    # distinct inputs per timed run so no layer (including the remote TPU
+    # tunnel) can memoize identical computations
+    variants = [
+        (
+            jax.device_put(target * (1.0 + 0.01 * i), device),
+            jax.device_put(reference * (1.0 - 0.01 * i), device),
+        )
+        for i in range(4)
+    ]
 
-    def run():
-        out = mg.master(target_d, reference_d, config, need_default=True)
-        jax.block_until_ready(out.result)
-        return out
+    import jax.numpy as jnp
 
-    run()  # compile
+    def run(pair):
+        out = mg.master(pair[0], pair[1], config, need_default=True)
+        # fetch a host scalar: block_until_ready alone does not actually
+        # synchronize on the tunneled TPU backend in this image
+        return float(jnp.sum(jnp.abs(out.result[:: 44100 // 4])))
+
+    run(variants[0])  # compile
     times = []
-    for _ in range(3):
+    for pair in variants[1:]:
         start = time.perf_counter()
-        run()
+        run(pair)
         times.append(time.perf_counter() - start)
 
-    best = min(times)
-    realtime_factor = seconds / best
+    times.sort()
+    median = times[len(times) // 2]
+    realtime_factor = seconds / median
     print(
         json.dumps(
             {

@@ -485,7 +485,7 @@ def _master_sharded_body(
             config.lin_log_oversampling,
             config.lowess_frac,
             config.lowess_it,
-            config.lowess_delta,
+            0.0 if config.lowess_exact else config.lowess_delta,
         )
         return fir_ops.fir_from_magnitude(smoothed, config.fft_size)
 
