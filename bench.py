@@ -61,11 +61,16 @@ def main():
 
     import jax.numpy as jnp
 
+    @jax.jit
+    def graph(target, reference):
+        out = mg.master_graph(target, reference, config, need_default=True)
+        # reduce to one scalar inside the program: fetching it to the host
+        # is the only reliable synchronization on the tunneled TPU backend
+        # (block_until_ready returns before execution completes there)
+        return jnp.sum(jnp.abs(out.result))
+
     def run(pair):
-        out = mg.master(pair[0], pair[1], config, need_default=True)
-        # fetch a host scalar: block_until_ready alone does not actually
-        # synchronize on the tunneled TPU backend in this image
-        return float(jnp.sum(jnp.abs(out.result[:: 44100 // 4])))
+        return float(graph(pair[0], pair[1]))
 
     run(variants[0])  # compile
     times = []
