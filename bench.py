@@ -43,6 +43,9 @@ def main():
     import jax
 
     import matchering_tpu as mg
+    from matchering_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
 
     seconds, sr = 180, 44100
     target, reference = make_pair(seconds, sr)

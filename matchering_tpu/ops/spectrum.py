@@ -44,3 +44,28 @@ def masked_average_spectrum(
     per_piece = framed_magnitude_mean(pieces, fft_size)
     weight = jnp.maximum(jnp.sum(mask), 1.0)
     return jnp.sum(per_piece * mask[:, None], axis=0) / weight
+
+
+def masked_average_spectrum_flat(
+    array: jax.Array, mask: jax.Array, piece_size: int, divisions: int, fft_size: int
+) -> jax.Array:
+    """:func:`masked_average_spectrum` straight from the flat signal,
+    without materializing the (divisions, piece_size) unfold — piece_size is
+    an arbitrary odd width whose row layout the XLA TPU compiler tiles
+    pathologically slowly; per-piece *static* slices reshaped to the
+    aligned (frames, fft_size) grid compile in seconds."""
+    frames_per_piece = piece_size // fft_size
+    used = frames_per_piece * fft_size
+    frames = jnp.concatenate(
+        [
+            jax.lax.slice(array, (p * piece_size,), (p * piece_size + used,)).reshape(
+                frames_per_piece, fft_size
+            )
+            for p in range(divisions)
+        ]
+    )  # (divisions * frames_per_piece, fft_size)
+    specs = jnp.abs(jnp.fft.rfft(frames, axis=-1)) / fft_size
+    weights = jnp.repeat(mask, frames_per_piece)
+    total = jnp.sum(specs * weights[:, None], axis=0)
+    selected = jnp.maximum(jnp.sum(mask), 1.0)
+    return total / (selected * frames_per_piece)

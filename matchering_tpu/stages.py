@@ -58,19 +58,21 @@ def piece_division(n: int, max_piece_size: int) -> Tuple[int, int]:
     return divisions, piece_size
 
 
-def _analyze_levels(mid: jax.Array, side: jax.Array, divisions: int, piece_size: int):
-    """Unfold into pieces and compute loudest-piece statistics
-    (reference ``analyze_levels``, ``match_levels.py:134-161``)."""
-    unfolded_mid = basics.unfold(mid, piece_size, divisions)
-    unfolded_side = basics.unfold(side, piece_size, divisions)
-    rmses = basics.batch_rms(unfolded_mid)
+def _analyze_levels(mid: jax.Array, divisions: int, piece_size: int):
+    """Piecewise loudest-piece statistics from the flat mid channel
+    (reference ``analyze_levels``, ``match_levels.py:134-161`` — the unfold
+    there is replaced by aligned-chunk piece sums, see
+    ``ops.basics.piece_rms_flat``)."""
+    rmses = basics.piece_rms_flat(mid, piece_size, divisions)
     mask, match_rms = basics.loudest_piece_stats(rmses)
-    return unfolded_mid, unfolded_side, mask, match_rms
+    return mask, match_rms
 
 
 def _matching_fir(
-    target_pieces: jax.Array,
-    reference_pieces: jax.Array,
+    target_signal: jax.Array,
+    reference_signal: jax.Array,
+    target_division: Tuple[int, int],
+    reference_division: Tuple[int, int],
     target_mask: jax.Array,
     reference_mask: jax.Array,
     target_gain: jax.Array,
@@ -84,12 +86,16 @@ def _matching_fir(
     spectrum equals the reference's amplify-then-FFT
     (``stages.py:87-91`` + ``match_frequencies.py:86``).
     """
+    t_div, t_piece = target_division
+    r_div, r_piece = reference_division
     target_fft = (
-        spectrum.masked_average_spectrum(target_pieces, target_mask, config.fft_size)
+        spectrum.masked_average_spectrum_flat(
+            target_signal, target_mask, t_piece, t_div, config.fft_size
+        )
         * target_gain
     )
-    reference_fft = spectrum.masked_average_spectrum(
-        reference_pieces, reference_mask, config.fft_size
+    reference_fft = spectrum.masked_average_spectrum_flat(
+        reference_signal, reference_mask, r_piece, r_div, config.fft_size
     )
     matching_fft = reference_fft / jnp.maximum(config.min_value, target_fft)
     smoothed = smoothing.smooth_exponentially(
@@ -133,27 +139,40 @@ def master_graph(
     target_mid, target_side = basics.lr_to_ms(target)
     reference_mid, reference_side = basics.lr_to_ms(reference)
 
-    t_mid_pieces, t_side_pieces, t_mask, t_match_rms = _analyze_levels(
-        target_mid, target_side, t_div, t_piece
-    )
-    r_mid_pieces, r_side_pieces, r_mask, r_match_rms = _analyze_levels(
-        reference_mid, reference_side, r_div, r_piece
-    )
+    t_mask, t_match_rms = _analyze_levels(target_mid, t_div, t_piece)
+    r_mask, r_match_rms = _analyze_levels(reference_mid, r_div, r_piece)
     report["target_match_rms"] = t_match_rms
     report["reference_match_rms"] = r_match_rms
 
     rms_coefficient = r_match_rms / jnp.maximum(config.min_value, t_match_rms)
     report["rms_coefficient"] = rms_coefficient
-    target_mid = target_mid * rms_coefficient
-    target_side = target_side * rms_coefficient
 
     # --- Stage 2: match frequencies (stages.py:107-135) ---
+    # note: spectra are taken from the *unamplified* target channels and
+    # scaled by the RMS coefficient (equivalent, |FFT| is homogeneous)
     mid_fir = _matching_fir(
-        t_mid_pieces, r_mid_pieces, t_mask, r_mask, rms_coefficient, config
+        target_mid,
+        reference_mid,
+        (t_div, t_piece),
+        (r_div, r_piece),
+        t_mask,
+        r_mask,
+        rms_coefficient,
+        config,
     )
     side_fir = _matching_fir(
-        t_side_pieces, r_side_pieces, t_mask, r_mask, rms_coefficient, config
+        target_side,
+        reference_side,
+        (t_div, t_piece),
+        (r_div, r_piece),
+        t_mask,
+        r_mask,
+        rms_coefficient,
+        config,
     )
+
+    target_mid = target_mid * rms_coefficient
+    target_side = target_side * rms_coefficient
 
     convolved = convolve.fft_convolve_same_batch(
         jnp.stack([target_mid, target_side]), jnp.stack([mid_fir, side_fir])
@@ -164,8 +183,7 @@ def master_graph(
     # --- Stage 3: RMS correction (stages.py:138-170), static unroll ---
     for step in range(config.rms_correction_steps):
         clipped = basics.clip(result_mid)
-        clipped_pieces = basics.unfold(clipped, t_piece, t_div)
-        clipped_rmses = basics.batch_rms(clipped_pieces)
+        clipped_rmses = basics.piece_rms_flat(clipped, t_piece, t_div)
         _, clipped_match_rms = basics.loudest_piece_stats(clipped_rmses)
         coefficient = r_match_rms / jnp.maximum(config.min_value, clipped_match_rms)
         report[f"rms_correction_{step + 1}"] = coefficient

@@ -38,3 +38,22 @@ def make_odd(value: int) -> int:
 
 def time_str(length: int, sample_rate: int) -> str:
     return str(timedelta(seconds=length // sample_rate))
+
+
+def enable_compile_cache(path: str = None) -> None:
+    """Enable JAX's persistent compilation cache.
+
+    The remote TPU compile service in some environments has minute-scale,
+    high-variance compile latency; the on-disk cache makes every program
+    shape compile once ever.  Safe to call multiple times.
+    """
+    import jax
+
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
