@@ -63,6 +63,24 @@ def interpolation_operators(
     return np.ascontiguousarray(to_log), np.ascontiguousarray(to_lin)
 
 
+@functools.lru_cache(maxsize=8)
+def interpolation_operator_arrays(
+    sample_rate: int, fft_size: int, oversampling: int, dtype
+):
+    """The two dense interpolation operators as *device arrays*, for passing
+    into jitted programs as runtime arguments.  Embedded as trace-time
+    constants they are ~134 MB of HLO literal (fft_size 4096, float32),
+    which the TPU compile service chews on for tens of seconds; as
+    arguments they cost nothing."""
+    import jax as _jax
+
+    to_log, to_lin = interpolation_operators(sample_rate, fft_size, oversampling)
+    return (
+        _jax.device_put(jnp.asarray(to_log, dtype=dtype)),
+        _jax.device_put(jnp.asarray(to_lin, dtype=dtype)),
+    )
+
+
 def smooth_exponentially(
     matching_fft: jax.Array,
     sample_rate: int,
@@ -71,15 +89,23 @@ def smooth_exponentially(
     lowess_frac: float,
     lowess_it: int,
     lowess_delta: float,
+    operators=None,
 ) -> jax.Array:
     """Smooth a matching spectrum on a log-frequency grid.
 
-    matching_fft: (fft_size//2 + 1,) -> same shape.
+    matching_fft: (fft_size//2 + 1,) -> same shape.  ``operators`` may carry
+    the (lin->log, log->lin) matrices as traced arrays; when None they are
+    baked in as constants (fine on CPU).
     """
     dtype = matching_fft.dtype
-    to_log, to_lin = interpolation_operators(sample_rate, fft_size, oversampling)
-    a_log = jnp.asarray(to_log, dtype=dtype)
-    a_lin = jnp.asarray(to_lin, dtype=dtype)
+    if operators is not None:
+        a_log, a_lin = operators
+        a_log = a_log.astype(dtype)
+        a_lin = a_lin.astype(dtype)
+    else:
+        to_log, to_lin = interpolation_operators(sample_rate, fft_size, oversampling)
+        a_log = jnp.asarray(to_log, dtype=dtype)
+        a_lin = jnp.asarray(to_lin, dtype=dtype)
 
     on_log_grid = a_log @ matching_fft
     filtered_log = lowess.smooth(on_log_grid, lowess_frac, lowess_it, lowess_delta)

@@ -41,6 +41,7 @@ from ..stages import MasterOutput, master_graph
 def _master_vmapped(
     targets: jax.Array,
     references: jax.Array,
+    interp_ops,
     config: Config,
     need_default: bool,
     need_no_limiter: bool,
@@ -54,7 +55,9 @@ def _master_vmapped(
             need_default=need_default,
             need_no_limiter=need_no_limiter,
             need_no_limiter_normalized=need_no_limiter_normalized,
-        )
+            interp_ops=interp_ops,
+        ),
+        in_axes=(0, 0),
     )(targets, references)
 
 
@@ -76,9 +79,18 @@ def master_batch(
         pspec = P("pairs", None, None)
         targets = jax.device_put(targets, NamedSharding(mesh, pspec))
         references = jax.device_put(references, NamedSharding(mesh, pspec))
+    from ..ops import smoothing
+
+    interp_ops = smoothing.interpolation_operator_arrays(
+        config.internal_sample_rate,
+        config.fft_size,
+        config.lin_log_oversampling,
+        jnp.dtype(config.dtype),
+    )
     return _master_vmapped(
         targets,
         references,
+        interp_ops,
         config,
         need_default,
         need_no_limiter,

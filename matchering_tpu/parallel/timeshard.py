@@ -429,6 +429,7 @@ def limit_sharded(array_local: jax.Array, config: Config, axis: str) -> jax.Arra
 def _master_sharded_body(
     target_local: jax.Array,
     reference_local: jax.Array,
+    interp_ops,
     config: Config,
     t_len: int,
     t_div: int,
@@ -486,6 +487,7 @@ def _master_sharded_body(
             config.lowess_frac,
             config.lowess_it,
             0.0 if config.lowess_exact else config.lowess_delta,
+            operators=interp_ops,
         )
         return fir_ops.fir_from_magnitude(smoothed, config.fft_size)
 
@@ -602,14 +604,22 @@ def master_sharded(
         report=P(),
     )
 
+    from ..ops import smoothing
+
+    interp_ops = smoothing.interpolation_operator_arrays(
+        config.internal_sample_rate,
+        config.fft_size,
+        config.lin_log_oversampling,
+        jnp.dtype(config.dtype),
+    )
     sharded = shard_map(
         body,
         mesh=mesh,
-        in_specs=(spec, spec),
+        in_specs=(spec, spec, (P(), P())),
         out_specs=out_specs,
         check_vma=False,
     )
-    out = jax.jit(sharded)(target_p, reference_p)
+    out = jax.jit(sharded)(target_p, reference_p, interp_ops)
 
     def trim(x):
         return None if x is None else x[:t_len]
@@ -690,14 +700,22 @@ def master_farm(
         result_no_limiter_normalized=spec if need_no_limiter_normalized else None,
         report=P(pairs_axis),
     )
+    from ..ops import smoothing
+
+    interp_ops = smoothing.interpolation_operator_arrays(
+        config.internal_sample_rate,
+        config.fft_size,
+        config.lin_log_oversampling,
+        jnp.dtype(config.dtype),
+    )
     sharded = shard_map(
-        lambda tl, rl: jax.vmap(body)(tl, rl),
+        lambda tl, rl, ops: jax.vmap(body, in_axes=(0, 0, None))(tl, rl, ops),
         mesh=mesh,
-        in_specs=(spec, spec),
+        in_specs=(spec, spec, (P(), P())),
         out_specs=out_specs,
         check_vma=False,
     )
-    out = jax.jit(sharded)(targets_p, references_p)
+    out = jax.jit(sharded)(targets_p, references_p, interp_ops)
 
     def trim(x):
         return None if x is None else x[:, :t_len]

@@ -77,6 +77,7 @@ def _matching_fir(
     reference_mask: jax.Array,
     target_gain: jax.Array,
     config: Config,
+    interp_ops=None,
 ) -> jax.Array:
     """Matching-EQ FIR for one of mid/side (reference ``get_fir``,
     ``match_frequencies.py:78-99``).
@@ -106,6 +107,7 @@ def _matching_fir(
         config.lowess_frac,
         config.lowess_it,
         0.0 if config.lowess_exact else config.lowess_delta,
+        operators=interp_ops,
     )
     return fir.fir_from_magnitude(smoothed, config.fft_size)
 
@@ -117,10 +119,13 @@ def master_graph(
     need_default: bool = True,
     need_no_limiter: bool = False,
     need_no_limiter_normalized: bool = False,
+    interp_ops=None,
 ) -> MasterOutput:
     """The full mastering computation (trace-time body of :func:`master`).
 
     target/reference: float (n, 2) stereo at ``config.internal_sample_rate``.
+    ``interp_ops`` optionally carries the smoothing interpolation matrices
+    as traced arrays (see :func:`master`, which threads them automatically).
     """
     dtype = jnp.dtype(config.dtype)
     target = jnp.asarray(target, dtype=dtype)
@@ -159,6 +164,7 @@ def master_graph(
         r_mask,
         rms_coefficient,
         config,
+        interp_ops,
     )
     side_fir = _matching_fir(
         target_side,
@@ -169,6 +175,7 @@ def master_graph(
         r_mask,
         rms_coefficient,
         config,
+        interp_ops,
     )
 
     target_mid = target_mid * rms_coefficient
@@ -213,7 +220,7 @@ def master_graph(
 
 
 # Public jitted entry point: one compilation per (shapes, config, flags).
-master = jax.jit(
+_master_jit = jax.jit(
     master_graph,
     static_argnames=(
         "config",
@@ -222,6 +229,36 @@ master = jax.jit(
         "need_no_limiter_normalized",
     ),
 )
+
+
+def master(
+    target,
+    reference,
+    config: Config,
+    need_default: bool = True,
+    need_no_limiter: bool = False,
+    need_no_limiter_normalized: bool = False,
+) -> MasterOutput:
+    """Jitted mastering graph with the smoothing interpolation operators
+    threaded as runtime arguments (keeps 134 MB of matrices out of the HLO
+    constant pool — a large TPU compile-time win)."""
+    from .ops import smoothing
+
+    interp_ops = smoothing.interpolation_operator_arrays(
+        config.internal_sample_rate,
+        config.fft_size,
+        config.lin_log_oversampling,
+        jnp.dtype(config.dtype),
+    )
+    return _master_jit(
+        target,
+        reference,
+        config,
+        need_default=need_default,
+        need_no_limiter=need_no_limiter,
+        need_no_limiter_normalized=need_no_limiter_normalized,
+        interp_ops=interp_ops,
+    )
 
 
 def main(
