@@ -13,9 +13,9 @@ mg.process(
     results=[
         # Basic WAV 16-bit, match + master
         mg.pcm16("my_song_master_16bit.wav"),
-        # WAV 24-bit, match only (no limiter), normalized to -0.01 dB
+        # FLAC 24-bit, match only (no limiter), normalized to -0.01 dB
         mg.Result(
-            "custom_result_24bit_no_limiter.wav", subtype="PCM_24", use_limiter=False
+            "custom_result_24bit_no_limiter.flac", subtype="PCM_24", use_limiter=False
         ),
         # AIFF 32-bit, match only (no limiter), non-normalized
         # Can exceed 0 dB without clipping, so you can feed it directly to

@@ -12,9 +12,9 @@ mg.process(
         mg.pcm16("my_song_master_16bit.wav"),
         mg.pcm24("my_song_master_24bit.wav"),
     ],
-    # These two lines create two 30-second WAV files with the loudest parts
+    # These two lines create two 30-second FLAC files with the loudest parts
     # of 'my_song.wav' and 'my_song_master_16bit.wav' — use them to quickly
     # compare the target audio with the resulting audio
-    preview_target=mg.pcm16("preview_my_song.wav"),
-    preview_result=mg.pcm16("preview_my_song_master.wav"),
+    preview_target=mg.pcm16("preview_my_song.flac"),
+    preview_result=mg.pcm16("preview_my_song_master.flac"),
 )

@@ -25,6 +25,8 @@ _WRITE_FORMATS = {
     "WAV": ("PCM_16", "PCM_24", "PCM_32", "FLOAT", "DOUBLE"),
     "AIFF": ("PCM_16", "PCM_24", "PCM_32"),
     "AIF": ("PCM_16", "PCM_24", "PCM_32"),
+    # FLAC via the native C++ codec (matchering_tpu/io/native/flac.cpp)
+    "FLAC": ("PCM_16", "PCM_24"),
 }
 
 
@@ -32,6 +34,8 @@ def check_format(fmt: str, subtype: Optional[str] = None) -> bool:
     """True if ``fmt`` (and optionally ``subtype``) can be written."""
     fmt = fmt.upper()
     if fmt not in _WRITE_FORMATS:
+        return False
+    if fmt == "FLAC" and not native.available():
         return False
     return subtype is None or subtype.upper() in _WRITE_FORMATS[fmt]
 
@@ -51,6 +55,8 @@ def read(path: str) -> Tuple[np.ndarray, int]:
         return wav.read(path)
     if len(magic) >= 12 and magic[:4] == b"FORM" and magic[8:12] in (b"AIFF", b"AIFC"):
         return aiff.read(path)
+    if len(magic) >= 4 and magic[:4] == b"fLaC" and native.available():
+        return native.read_flac(path)
     raise RuntimeError(f"unknown format: '{os.path.basename(path)}'")
 
 
@@ -63,5 +69,9 @@ def write(path: str, array: np.ndarray, sample_rate: int, subtype: str) -> None:
         wav.write(path, array, sample_rate, subtype)
     elif ext in ("AIFF", "AIF"):
         aiff.write(path, array, sample_rate, subtype)
+    elif ext == "FLAC":
+        if not native.available():
+            raise RuntimeError("FLAC output needs the native codec (io/native)")
+        native.write_flac(path, np.ascontiguousarray(array, dtype=np.float64), sample_rate, subtype)
     else:
         raise RuntimeError(f"unsupported output format: {ext}")

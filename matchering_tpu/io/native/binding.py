@@ -57,6 +57,29 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int,  # sample rate
             ctypes.c_int,  # subtype id
         ]
+        lib.mtpu_flac_probe.restype = ctypes.c_int
+        lib.mtpu_flac_probe.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_longlong),  # frames
+            ctypes.POINTER(ctypes.c_int),  # channels
+            ctypes.POINTER(ctypes.c_int),  # sample rate
+            ctypes.POINTER(ctypes.c_int),  # bits per sample
+        ]
+        lib.mtpu_flac_read.restype = ctypes.c_longlong
+        lib.mtpu_flac_read.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_longlong,
+        ]
+        lib.mtpu_flac_write.restype = ctypes.c_int
+        lib.mtpu_flac_write.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_longlong,  # frames
+            ctypes.c_int,  # channels
+            ctypes.c_int,  # sample rate
+            ctypes.c_int,  # bits per sample
+        ]
         _lib = lib
     except OSError:
         _lib = None
@@ -105,3 +128,51 @@ def write_wav(path: str, array: np.ndarray, sample_rate: int, subtype: str) -> N
     )
     if rc != 0:
         raise RuntimeError(f"native WAV write failed (rc={rc})")
+
+
+def read_flac(path: str) -> Tuple[np.ndarray, int]:
+    """Decode a FLAC file via the native codec -> (float64 (n, ch), rate)."""
+    lib = _load()
+    assert lib is not None
+    frames = ctypes.c_longlong()
+    channels = ctypes.c_int()
+    rate = ctypes.c_int()
+    bps = ctypes.c_int()
+    rc = lib.mtpu_flac_probe(
+        path.encode(),
+        ctypes.byref(frames),
+        ctypes.byref(channels),
+        ctypes.byref(rate),
+        ctypes.byref(bps),
+    )
+    if rc != 0:
+        raise RuntimeError(f"unknown format: '{os.path.basename(path)}' (rc={rc})")
+    out = np.empty((frames.value, channels.value), dtype=np.float64)
+    n = lib.mtpu_flac_read(
+        path.encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        frames.value,
+    )
+    if n < 0:
+        raise RuntimeError(f"native FLAC decode failed (rc={n})")
+    return out[:n], rate.value
+
+
+def write_flac(path: str, array: np.ndarray, sample_rate: int, subtype: str) -> None:
+    """Encode float64 (n, ch) audio as FLAC (PCM_16 or PCM_24)."""
+    lib = _load()
+    assert lib is not None
+    bps = {"PCM_16": 16, "PCM_24": 24}[subtype]
+    array = np.ascontiguousarray(array, dtype=np.float64)
+    if array.ndim == 1:
+        array = array[:, None]
+    rc = lib.mtpu_flac_write(
+        path.encode(),
+        array.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        array.shape[0],
+        array.shape[1],
+        sample_rate,
+        bps,
+    )
+    if rc != 0:
+        raise RuntimeError(f"native FLAC write failed (rc={rc})")

@@ -12,7 +12,7 @@ import sys
 
 def build(verbose: bool = True) -> str:
     here = os.path.dirname(os.path.abspath(__file__))
-    src = os.path.join(here, "codec.cpp")
+    src = [os.path.join(here, "codec.cpp"), os.path.join(here, "flac.cpp")]
     out = os.path.join(here, "libmtpu_codec.so")
     cmd = [
         "g++",
@@ -21,7 +21,7 @@ def build(verbose: bool = True) -> str:
         "-shared",
         "-fPIC",
         "-std=c++17",
-        src,
+        *src,
         "-o",
         out,
     ]

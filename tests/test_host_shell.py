@@ -268,3 +268,45 @@ class TestBatchPath:
             single = mg.master_graph(t, r, cfg, need_default=True)
             value = snr(np.asarray(single.result), np.asarray(out.result[i]))
             assert value > 140.0, f"pair {i} SNR {value:.1f} dB"
+
+
+class TestFlacCodec:
+    @pytest.mark.parametrize("subtype,tol", [("PCM_16", 2**-15), ("PCM_24", 2**-23)])
+    def test_roundtrip(self, tmp_path, rng, subtype, tol):
+        if not native.available():
+            pytest.skip("native codec not built")
+        x = np.clip(rng.randn(9000, 2) * 0.4, -1, 1)
+        path = str(tmp_path / "rt.flac")
+        native.write_flac(path, x, 48000, subtype)
+        y, sr = codecs.read(path)
+        assert sr == 48000 and y.shape == x.shape
+        assert np.abs(y - x).max() <= tol + 1e-12
+
+    def test_result_descriptor_accepts_flac(self, tmp_path):
+        if not native.available():
+            pytest.skip("native codec not built")
+        r = mg.Result(str(tmp_path / "out.flac"), "PCM_24", use_limiter=False)
+        assert r.subtype == "PCM_24"
+
+    def test_smaller_than_raw_for_tonal_audio(self, tmp_path):
+        if not native.available():
+            pytest.skip("native codec not built")
+        import os
+
+        t = np.arange(44100) / 44100.0
+        x = np.stack([0.5 * np.sin(2 * np.pi * 440 * t)] * 2, axis=1)
+        path = str(tmp_path / "sine.flac")
+        native.write_flac(path, x, 44100, "PCM_16")
+        assert os.path.getsize(path) < x.size * 2 * 0.5
+        y, _ = codecs.read(path)
+        assert np.abs(y - x).max() <= 2**-15 + 1e-12
+
+    def test_mono_and_odd_length(self, tmp_path, rng):
+        if not native.available():
+            pytest.skip("native codec not built")
+        x = np.clip(rng.randn(4097, 1) * 0.3, -1, 1)  # crosses a frame boundary
+        path = str(tmp_path / "m.flac")
+        native.write_flac(path, x, 22050, "PCM_16")
+        y, sr = codecs.read(path)
+        assert sr == 22050 and y.shape == (4097, 1)
+        assert np.abs(y - x).max() <= 2**-15 + 1e-12
