@@ -61,6 +61,12 @@ def _release_stage(slided_attack: jax.Array, config: Config) -> jax.Array:
     return jnp.maximum(hold_out, release_out)
 
 
+def _use_pallas() -> bool:
+    """The fused Pallas front-end runs on real TPU backends; CPU (tests,
+    float64 oracle runs) uses the equivalent unfused XLA ops."""
+    return jax.default_backend() not in ("cpu",)
+
+
 def limit(array: jax.Array, config: Config) -> jax.Array:
     """Brickwall-limit a stereo (n, 2) array at ``config.threshold``.
 
@@ -69,8 +75,21 @@ def limit(array: jax.Array, config: Config) -> jax.Array:
     """
     rectified = basics.rectify(array, config.threshold)
 
-    gain_hard_clip = basics.flip(1.0 / rectified)
-    gain_attack, hard_clip_slided = _attack_stage(gain_hard_clip, config)
+    if _use_pallas():
+        from .ops.pallas_envelope import limiter_front_end
+
+        attack = ms_to_samples(config.limiter.attack, config.internal_sample_rate)
+        gain_hard_clip, slided = limiter_front_end(
+            array, config.threshold, attack
+        )
+        smoother = iir.one_pole_filter(
+            config.limiter.attack_filter_coefficient, attack
+        )
+        gain_attack = iir.filtfilt_first_order(smoother, slided)
+        hard_clip_slided = slided
+    else:
+        gain_hard_clip = basics.flip(1.0 / rectified)
+        gain_attack, hard_clip_slided = _attack_stage(gain_hard_clip, config)
     gain_release = _release_stage(hard_clip_slided, config)
 
     gain = basics.flip(basics.max_mix(gain_hard_clip, gain_attack, gain_release))

@@ -25,6 +25,9 @@ def _next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
+_CONV_CHUNK = 256  # blocks per mapped FFT batch (~bounded HBM working set)
+
+
 def fft_convolve_same(
     x: jax.Array, fir: jax.Array, block_fft: int = 1 << 17
 ) -> jax.Array:
@@ -64,9 +67,19 @@ def fft_convolve_same(
     blocks = overlapping_blocks(padded, nblocks, hop, nfft)
 
     h = jnp.fft.rfft(fir, n=nfft)
-    specs = jnp.fft.rfft(blocks, axis=-1)
-    segs = fftpack.irfft(specs * h[None, :], n=nfft, axis=-1)
-    out = segs[:, discard:].reshape(-1)  # drop circular wrap, keep hop each
+
+    def per_block(block):
+        spec = jnp.fft.rfft(block) * h
+        return fftpack.irfft(spec, n=nfft)[discard:]
+
+    if nblocks > 2 * _CONV_CHUNK:
+        # bound the FFT working set: the full (nblocks, nfft) spectrum
+        # batch peaks at ~5 live copies, which OOMs 60-min tracks; chunked
+        # mapping keeps peak memory at ~chunk * nfft * a-few
+        segs = jax.lax.map(per_block, blocks, batch_size=_CONV_CHUNK)
+    else:
+        segs = jax.vmap(per_block)(blocks)
+    out = segs.reshape(-1)  # drop circular wrap, keep hop each
     return out[start : start + n]
 
 

@@ -81,22 +81,40 @@ def _affine_combine(left, right):
 _SCAN_BLOCK = 1 << 15
 
 
-def scan_first_order(drive: jax.Array, pole: jax.Array) -> jax.Array:
+def _pole_powers(pole, block: int, dtype):
+    """(pole^1..pole^block, pole^block).  For a host-float pole the powers
+    are computed in float64 and correctly rounded per entry — the naive
+    f32 ``pole ** i`` loses ~i*eps relative accuracy, which for the
+    limiter's near-unit release pole is 1e-3 at block size 32768."""
+    if isinstance(pole, (int, float)):
+        import numpy as _np
+
+        p64 = _np.float64(pole) ** _np.arange(1, block + 1)
+        return jnp.asarray(p64, dtype=dtype), jnp.asarray(p64[-1], dtype=dtype)
+    pole_arr = jnp.asarray(pole, dtype=dtype)
+    powers = pole_arr ** jnp.arange(1, block + 1, dtype=dtype)
+    return powers, powers[-1]
+
+
+def scan_first_order(drive: jax.Array, pole) -> jax.Array:
     """Solve y[i] = drive[i] + pole * y[i-1], y[-1] = 0.
 
-    Short signals: one ``associative_scan`` (O(log n) depth).  Long signals:
-    ``lax.scan`` over ``_SCAN_BLOCK``-sample blocks, each block an
-    associative scan plus an affine carry ``y = local + pole^(i+1) * c`` —
-    the same blocked-recurrence math as the time-sharded path.  The blocked
-    form exists for the XLA *compiler*: a flat associative scan over
-    millions of samples emits log2(n) full-size HLO stages (~60 s compile
-    per scan on TPU), while the block loop compiles one small body and
-    reuses it, at equal runtime.
+    ``pole`` is ideally a host float (static).  Short signals: one
+    ``associative_scan`` (O(log n) depth).  Long signals: a fully parallel
+    two-level decomposition — vectorized per-block associative scans over a
+    (nblocks, block) view, an associative scan over the nblocks affine
+    block summaries, and a broadcast carry correction
+    ``y = local + pole^(i+1) * carry_in``.
+
+    The blocked form exists for the XLA *compiler* as much as the machine:
+    a flat associative scan over millions of samples emits log2(n)
+    full-size HLO stages (~60 s compile per scan on this TPU backend, vs
+    ~5 s blocked) — and the aligned 2-D layout runs no slower.
     """
     dtype = drive.dtype
-    pole_arr = jnp.asarray(pole, dtype=dtype)
     n = drive.shape[0]
     if n <= 2 * _SCAN_BLOCK:
+        pole_arr = jnp.asarray(pole, dtype=dtype)
         poles = jnp.broadcast_to(pole_arr, drive.shape)
         _, y = jax.lax.associative_scan(_affine_combine, (poles, drive))
         return y
@@ -105,17 +123,17 @@ def scan_first_order(drive: jax.Array, pole: jax.Array) -> jax.Array:
     nblocks = -(-n // block)
     padded = jnp.pad(drive, (0, nblocks * block - n))
     blocks = padded.reshape(nblocks, block)
-    powers = pole_arr ** jnp.arange(1, block + 1, dtype=dtype)
-    a_block = pole_arr ** block
+    powers, a_block = _pole_powers(pole, block, dtype)
 
-    def step(carry, drive_block):
-        poles = jnp.broadcast_to(pole_arr, drive_block.shape)
-        _, local = jax.lax.associative_scan(_affine_combine, (poles, drive_block))
-        y = local + powers * carry
-        return a_block * carry + local[-1], y
+    poles = jnp.broadcast_to(jnp.asarray(pole, dtype=dtype), blocks.shape)
+    _, local = jax.lax.associative_scan(_affine_combine, (poles, blocks), axis=1)
 
-    _, ys = jax.lax.scan(step, jnp.zeros((), dtype), blocks)
-    return ys.reshape(-1)[:n]
+    a_vec = jnp.broadcast_to(a_block, (nblocks,))
+    _, carries = jax.lax.associative_scan(_affine_combine, (a_vec, local[:, -1]))
+    carry_in = jnp.concatenate([jnp.zeros((1,), dtype), carries[:-1]])
+
+    y = local + powers[None, :] * carry_in[:, None]
+    return y.reshape(-1)[:n]
 
 
 def lfilter_first_order(
@@ -132,7 +150,7 @@ def lfilter_first_order(
         drive = drive.at[1:].add(filt.b1 * x[:-1])
     if zi is not None:
         drive = drive.at[0].add(jnp.asarray(zi, dtype=dtype))
-    return scan_first_order(drive, jnp.asarray(-filt.a1, dtype=dtype))
+    return scan_first_order(drive, filt.pole)
 
 
 def filtfilt_first_order(filt: FirstOrderFilter, x: jax.Array) -> jax.Array:

@@ -1,0 +1,119 @@
+"""Fused limiter front-end as a hand-written Pallas TPU kernel.
+
+Fuses the first three limiter stages (reference ``matchering/limiter/
+hyrax.py:78-94``) into one VMEM-resident pass per block:
+
+    stereo tile -> rectified cross-channel envelope (``dsp.py:117-121``)
+                -> hard-clip gain ``1 - 1/env`` (``dsp.py:113``, hyrax.py:87)
+                -> centered sliding max, window ``2*make_odd(attack)-1``
+                   with 'reflect' track edges (``hyrax.py:32-37``)
+
+The unfused XLA form streams the track through HBM once per stage; here
+each grid step reads its (block, 2) stereo tile plus the next tile (the
+sliding-window lookahead halo, expressed as a second shifted-index-map
+input — no gathers), computes everything on the VPU in VMEM, and writes
+the two results (hard-clip gain, slided gain) once.
+
+Edge semantics: ``maximum_filter1d``'s 'reflect' padding commutes with the
+per-sample gain computation, so the stereo signal is mirrored by
+``window//2`` samples on both ends *before* blocking — the kernel itself
+is edge-case-free and the result is exactly equal to
+``basics.flip(1/basics.rectify(x)) -> sliding.sliding_max_attack`` for any
+length (validated in ``tests/test_pallas.py``, interpret mode and chip).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils import make_odd
+
+_BLOCK = 1 << 15
+
+
+def _sliding_start_max(x: jax.Array, window: int) -> jax.Array:
+    """max over x[j : j+window] for every valid start j (shift doubling)."""
+    out = x
+    span = 1
+    while span < window:
+        step = min(span, window - span)
+        cur = out.shape[0]
+        out = jnp.maximum(out[: cur - step], out[step:])
+        span += step
+    return out
+
+
+def _envelope_kernel(cur_ref, nxt_ref, gain_ref, slided_ref, *, threshold, window):
+    inv_thr = 1.0 / threshold
+
+    def hard_clip_gain(tile):
+        peak = jnp.maximum(jnp.abs(tile[:, 0]), jnp.abs(tile[:, 1]))
+        env = jnp.maximum(peak * inv_thr, 1.0)
+        return 1.0 - 1.0 / env  # 0 where the signal stays below threshold
+
+    gain_cur = hard_clip_gain(cur_ref[:])
+    gain_next = hard_clip_gain(nxt_ref[: window - 1])
+
+    gain_ref[:] = gain_cur
+    slided_ref[:] = _sliding_start_max(
+        jnp.concatenate([gain_cur, gain_next]), window
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "attack"))
+def limiter_front_end(
+    array: jax.Array, threshold: float, attack: int
+) -> Tuple[jax.Array, jax.Array]:
+    """(n, 2) stereo -> (hard-clip gain, attack-slided gain), both (n,).
+
+    Pallas-fused equivalent of
+    ``gain = flip(1/rectify(array, threshold))`` followed by
+    ``sliding_max_attack(gain, attack)``.
+    """
+    n = array.shape[0]
+    window = 2 * make_odd(attack) - 1
+    half = window // 2
+    assert window - 1 <= _BLOCK, "attack window must fit in one block halo"
+    assert half <= n, "track shorter than the attack window mirror"
+
+    # mirror the track edges with ndimage's 'reflect' (edge-duplicating)
+    # convention (gain computation is per-sample, so mirroring the stereo
+    # samples mirrors the gains), then align to whole blocks
+    head = array[:half][::-1]
+    tail = array[::-1][:half]
+    stream = jnp.concatenate([head, array, tail])
+    m = stream.shape[0]
+    nb = -(-m // _BLOCK)
+    stream = jnp.pad(stream, ((0, nb * _BLOCK - m), (0, 0)))
+
+    grid_spec = pl.GridSpec(
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((_BLOCK, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (_BLOCK, 2),
+                lambda i: (jnp.minimum(i + 1, nb - 1), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ],
+    )
+    kernel = functools.partial(_envelope_kernel, threshold=threshold, window=window)
+    gain, slided = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb * _BLOCK,), array.dtype),
+            jax.ShapeDtypeStruct((nb * _BLOCK,), array.dtype),
+        ],
+        grid_spec=grid_spec,
+    )(stream, stream)
+    return gain[half : half + n], slided[:n]
