@@ -62,9 +62,18 @@ def _release_stage(slided_attack: jax.Array, config: Config) -> jax.Array:
 
 
 def _use_pallas() -> bool:
-    """The fused Pallas front-end runs on real TPU backends; CPU (tests,
-    float64 oracle runs) uses the equivalent unfused XLA ops."""
-    return jax.default_backend() not in ("cpu",)
+    """Opt-in switch for the fused Pallas front-end (``ops.pallas_envelope``).
+
+    The kernel is bit-identical to the unfused ops (tests/test_pallas.py)
+    and runs on TPU backends, but the remote compile service in this
+    environment takes minutes per Pallas program, so the XLA form stays the
+    default; set MATCHERING_TPU_PALLAS=1 to enable."""
+    import os
+
+    return (
+        os.environ.get("MATCHERING_TPU_PALLAS") == "1"
+        and jax.default_backend() not in ("cpu",)
+    )
 
 
 def limit(array: jax.Array, config: Config) -> jax.Array:

@@ -1,0 +1,62 @@
+"""Batch (data-parallel) mastering throughput on one chip.
+
+The farm metric: pairs mastered per second with the vmapped batch path —
+dispatch overhead amortizes across the batch, so per-pair cost approaches
+pure compute.  (Multi-chip scaling multiplies this by the pairs axis size;
+cross-pair communication is zero.)
+"""
+
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import matchering_tpu as mg
+    from matchering_tpu.parallel import batch as pbatch
+    from matchering_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+
+    seconds, sr, B = 180, 44100, 4
+    rng = np.random.RandomState(7)
+    n = seconds * sr
+    t = np.arange(n) / sr
+    base_t = (0.4 * np.sin(2 * np.pi * 220 * t) + 0.04 * rng.randn(n)).astype(np.float32)
+    base_r = (0.7 * np.sign(np.sin(2 * np.pi * 110 * t)) + 0.04 * rng.randn(n)).astype(
+        np.float32
+    )
+    targets = np.stack(
+        [np.stack([base_t * (1 + 0.02 * i)] * 2, axis=1) for i in range(B)]
+    )
+    references = np.stack(
+        [np.stack([base_r * (1 - 0.01 * i)] * 2, axis=1) for i in range(B)]
+    )
+    config = mg.Config()
+
+    def run(tb, rb):
+        out = pbatch.master_batch(jnp.asarray(tb), jnp.asarray(rb), config)
+        return float(jnp.sum(jnp.abs(out.result)))
+
+    t0 = time.perf_counter()
+    run(targets, references)
+    print(f"batch B={B} compile+run: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        run(targets * (1 + 0.001 * (i + 1)), references)
+        times.append(time.perf_counter() - t0)
+    med = sorted(times)[1]
+    print(
+        f"batch B={B} run: {med:.3f}s -> {B * seconds / med:.0f} audio-sec/sec, "
+        f"{B / med:.1f} pairs/sec",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
