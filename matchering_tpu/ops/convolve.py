@@ -25,7 +25,7 @@ def _next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
-_CONV_CHUNK = 256  # blocks per mapped FFT batch (~bounded HBM working set)
+_CONV_CHUNK = 128  # blocks per mapped FFT batch (~bounded HBM working set)
 
 
 def fft_convolve_same(

@@ -79,6 +79,7 @@ def _affine_combine(left, right):
 
 
 _SCAN_BLOCK = 1 << 15
+_SEQUENTIAL_LIMIT = 1 << 25  # above this, trade scan parallelism for memory
 
 
 def _pole_powers(pole, block: int, dtype):
@@ -124,6 +125,21 @@ def scan_first_order(drive: jax.Array, pole) -> jax.Array:
     padded = jnp.pad(drive, (0, nblocks * block - n))
     blocks = padded.reshape(nblocks, block)
     powers, a_block = _pole_powers(pole, block, dtype)
+
+    if n > _SEQUENTIAL_LIMIT:
+        # memory-lean mode for very long tracks: lax.scan over blocks keeps
+        # only one block of temporaries live (the parallel form peaks at
+        # ~3x the signal size, which OOMs hour-long 96 kHz masters)
+        pole_arr = jnp.asarray(pole, dtype=dtype)
+
+        def step(carry, drive_block):
+            poles = jnp.broadcast_to(pole_arr, drive_block.shape)
+            _, local = jax.lax.associative_scan(_affine_combine, (poles, drive_block))
+            y = local + powers * carry
+            return a_block * carry + local[-1], y
+
+        _, ys = jax.lax.scan(step, jnp.zeros((), dtype), blocks)
+        return ys.reshape(-1)[:n]
 
     poles = jnp.broadcast_to(jnp.asarray(pole, dtype=dtype), blocks.shape)
     _, local = jax.lax.associative_scan(_affine_combine, (poles, blocks), axis=1)

@@ -228,6 +228,10 @@ _master_jit = jax.jit(
         "need_no_limiter",
         "need_no_limiter_normalized",
     ),
+    # the input tracks are dead after analysis/convolution — donating their
+    # buffers lets XLA reuse ~3 track-sizes of HBM (matters for hour-long
+    # 96 kHz masters on a 16 GB chip)
+    donate_argnums=(0, 1),
 )
 
 
