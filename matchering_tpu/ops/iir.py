@@ -80,6 +80,7 @@ def _affine_combine(left, right):
 
 _SCAN_BLOCK = 1 << 15
 _SEQUENTIAL_LIMIT = 1 << 25  # above this, trade scan parallelism for memory
+_SEQ_MEGA_ROWS = 128  # sequential mega-block = rows * _SCAN_BLOCK (~4M) samples
 
 
 def _pole_powers(pole, block: int, dtype):
@@ -127,29 +128,59 @@ def scan_first_order(drive: jax.Array, pole) -> jax.Array:
     powers, a_block = _pole_powers(pole, block, dtype)
 
     if n > _SEQUENTIAL_LIMIT:
-        # memory-lean mode for very long tracks: lax.scan over blocks keeps
-        # only one block of temporaries live (the parallel form peaks at
-        # ~3x the signal size, which OOMs hour-long 96 kHz masters)
-        pole_arr = jnp.asarray(pole, dtype=dtype)
+        # memory-lean mode for very long tracks: a sequential lax.scan over
+        # ~4M-sample mega-blocks (the fully parallel form peaks at ~3x the
+        # signal size, which OOMs hour-long 96 kHz masters), each mega-block
+        # solved with the parallel two-level decomposition so the loop has
+        # only ~n/4M iterations (thousands of tiny steps are latency-bound).
+        rows = _SEQ_MEGA_ROWS
+        mega = rows * block
+        nmega = -(-n // mega)
+        padded = jnp.pad(drive, (0, nmega * mega - n))
+        megas = padded.reshape(nmega, rows, block)
+        import numpy as _np
 
-        def step(carry, drive_block):
-            poles = jnp.broadcast_to(pole_arr, drive_block.shape)
-            _, local = jax.lax.associative_scan(_affine_combine, (poles, drive_block))
-            y = local + powers * carry
-            return a_block * carry + local[-1], y
+        if isinstance(pole, (int, float)):
+            mega_pows64 = _np.float64(pole) ** (
+                _np.arange(1, rows + 1)[:, None] * 0
+                + _np.arange(1, block + 1)[None, :]
+                + (_np.arange(rows)[:, None] * block)
+            )
+            mega_powers = jnp.asarray(mega_pows64, dtype=dtype)  # (rows, block)
+            a_mega = jnp.asarray(_np.float64(pole) ** mega, dtype=dtype)
+        else:
+            mega_powers = (
+                jnp.asarray(pole, dtype=dtype)
+                ** (
+                    jnp.arange(1, block + 1, dtype=dtype)[None, :]
+                    + (jnp.arange(rows, dtype=dtype) * block)[:, None]
+                )
+            )
+            a_mega = jnp.asarray(pole, dtype=dtype) ** mega
 
-        _, ys = jax.lax.scan(step, jnp.zeros((), dtype), blocks)
+        def step(carry, drive_mega):
+            y0 = _two_level_zero_state(drive_mega, pole, powers, a_block, dtype)
+            y = y0 + mega_powers * carry
+            return a_mega * carry + y0[-1, -1], y
+
+        _, ys = jax.lax.scan(step, jnp.zeros((), dtype), megas)
         return ys.reshape(-1)[:n]
 
+    local = _two_level_zero_state(blocks, pole, powers, a_block, dtype)
+    return local.reshape(-1)[:n]
+
+
+def _two_level_zero_state(blocks, pole, powers, a_block, dtype):
+    """Zero-entry-state solution over a (rows, block) drive view: parallel
+    per-row associative scans + a scan over the row affine summaries +
+    broadcast carry correction."""
+    rows = blocks.shape[0]
     poles = jnp.broadcast_to(jnp.asarray(pole, dtype=dtype), blocks.shape)
     _, local = jax.lax.associative_scan(_affine_combine, (poles, blocks), axis=1)
-
-    a_vec = jnp.broadcast_to(a_block, (nblocks,))
+    a_vec = jnp.broadcast_to(a_block, (rows,))
     _, carries = jax.lax.associative_scan(_affine_combine, (a_vec, local[:, -1]))
     carry_in = jnp.concatenate([jnp.zeros((1,), dtype), carries[:-1]])
-
-    y = local + powers[None, :] * carry_in[:, None]
-    return y.reshape(-1)[:n]
+    return local + powers[None, :] * carry_in[:, None]
 
 
 def lfilter_first_order(
