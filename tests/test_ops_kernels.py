@@ -214,3 +214,55 @@ class TestConvolve:
             convolve.fft_convolve_same(jnp.asarray(x), jnp.asarray(h), block_fft=1 << 12)
         )
         np.testing.assert_allclose(got, expected, rtol=1e-7, atol=1e-8)
+
+
+class TestFlatAnalysisOps:
+    def test_piece_rms_flat_matches_unfold(self, rng):
+        from matchering_tpu.ops.basics import batch_rms, piece_rms_flat, unfold
+
+        for n, piece, div in [(7938000, 610615, 13), (100000, 9999, 10), (50000, 50000, 1)]:
+            x = jnp.asarray(rng.randn(n))
+            expected = np.asarray(batch_rms(unfold(x, piece, div)))
+            got = np.asarray(piece_rms_flat(x, piece, div))
+            np.testing.assert_allclose(got, expected, rtol=1e-12)
+
+    def test_masked_spectrum_flat_matches_unfold(self, rng):
+        from matchering_tpu.ops.basics import unfold
+        from matchering_tpu.ops.spectrum import (
+            masked_average_spectrum,
+            masked_average_spectrum_flat,
+        )
+
+        n, piece, div, fft_size = 8 * 3000, 2900, 8, 512
+        x = jnp.asarray(rng.randn(n))
+        mask = jnp.asarray((rng.rand(div) > 0.4).astype(np.float64))
+        expected = np.asarray(
+            masked_average_spectrum(unfold(x, piece, div), mask, fft_size)
+        )
+        got = np.asarray(masked_average_spectrum_flat(x, mask, piece, div, fft_size))
+        np.testing.assert_allclose(got, expected, rtol=1e-10, atol=1e-12)
+
+    def test_hermitian_irfft_matches_native(self, rng):
+        from unittest import mock
+
+        from matchering_tpu.ops import fftpack
+
+        spec = jnp.asarray(rng.randn(7, 129) + 1j * rng.randn(7, 129))
+        expected = np.fft.irfft(np.asarray(spec), n=256, axis=-1)
+        with mock.patch.object(fftpack, "_use_native_irfft", lambda: False):
+            got = np.asarray(fftpack.irfft(spec, n=256, axis=-1))
+        np.testing.assert_allclose(got, expected, atol=1e-12)
+
+    def test_sequential_mega_scan_matches_parallel(self, rng):
+        from matchering_tpu.ops import iir
+
+        x = jnp.asarray(rng.randn(300000))
+        filt = iir.butter1_coefficients(7.0, 44100)
+        expected = np.asarray(iir.lfilter_first_order(filt, x))
+        old = iir._SEQUENTIAL_LIMIT
+        try:
+            iir._SEQUENTIAL_LIMIT = 1 << 17
+            got = np.asarray(iir.lfilter_first_order(filt, x))
+        finally:
+            iir._SEQUENTIAL_LIMIT = old
+        np.testing.assert_allclose(got, expected, rtol=1e-12, atol=1e-12)
