@@ -183,6 +183,125 @@ def _two_level_zero_state(blocks, pole, powers, a_block, dtype):
     return local + powers[None, :] * carry_in[:, None]
 
 
+# ---------------------------------------------------------------------------
+# Double-single (compensated) scan for near-unit poles in float32
+#
+# A first-order recurrence with pole p stored in float32 accumulates a
+# relative error of ~k * eps32 in the p^k terms; for the limiter's release
+# filter (p ≈ 0.999962, decay length ~26k samples) that saturates around
+# 3e-4 — the float32 pipeline's accuracy floor (~70 dB).  Carrying every
+# affine coefficient as an unevaluated float32 pair (hi, lo) restores
+# ~double accuracy at ~6x the (negligible) scan flop count.  Error-free
+# transforms use Dekker splitting, no FMA required.
+
+_DS_POLE_THRESHOLD = 0.99  # use the compensated scan beyond this pole
+
+
+def _two_sum(a, b):
+    s = a + b
+    v = s - a
+    return s, (a - (s - v)) + (b - v)
+
+
+def _split32(a):
+    c = a * 4097.0  # 2^12 + 1 for float32
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    p = a * b
+    ah, al = _split32(a)
+    bh, bl = _split32(b)
+    return p, ((ah * bh - p) + ah * bl + al * bh) + al * bl
+
+
+def _ds_add(x, y):
+    s, e = _two_sum(x[0], y[0])
+    e = e + (x[1] + y[1])
+    s2, e2 = _two_sum(s, e)
+    return s2, e2
+
+
+def _ds_mul(x, y):
+    p, e = _two_prod(x[0], y[0])
+    e = e + (x[0] * y[1] + x[1] * y[0])
+    s, e2 = _two_sum(p, e)
+    return s, e2
+
+
+def _ds_combine(left, right):
+    """Affine composition over double-single coefficients:
+    (a, u) pairs with a = (ah, al), u = (uh, ul)."""
+    a1h, a1l, u1h, u1l = left
+    a2h, a2l, u2h, u2l = right
+    ah, al = _ds_mul((a1h, a1l), (a2h, a2l))
+    uh, ul = _ds_add(_ds_mul((a2h, a2l), (u1h, u1l)), (u2h, u2l))
+    return ah, al, uh, ul
+
+
+def _ds_const(value_f64, dtype, shape=()):
+    import numpy as _np
+
+    hi = _np.asarray(value_f64, dtype=_np.float32).astype(_np.float64)
+    lo = _np.asarray(value_f64 - hi, dtype=_np.float32)
+    h = jnp.broadcast_to(jnp.asarray(hi, dtype=dtype), shape)
+    l = jnp.broadcast_to(jnp.asarray(lo, dtype=dtype), shape)
+    return h, l
+
+
+def _ds_scan_zero_state(drive_hi, drive_lo, pole_hi, pole_lo):
+    """associative_scan of the ds affine maps along the last axis."""
+    shape = drive_hi.shape
+    ph = jnp.broadcast_to(pole_hi, shape)
+    plo = jnp.broadcast_to(pole_lo, shape)
+    _, _, uh, ul = jax.lax.associative_scan(
+        lambda l, r: _ds_combine(l, r), (ph, plo, drive_hi, drive_lo), axis=-1
+    )
+    return uh, ul
+
+
+def scan_first_order_ds(drive_hi: jax.Array, drive_lo: jax.Array, pole: float):
+    """Compensated solve of y[i] = drive[i] + pole*y[i-1] (zero entry state)
+    for float32 signals; returns (y_hi, y_lo).  ``pole`` is a host float
+    carried to ~double precision as a float32 pair."""
+    import numpy as _np
+
+    dtype = drive_hi.dtype
+    n = drive_hi.shape[0]
+    pole_hi, pole_lo = _ds_const(_np.float64(pole), dtype)
+
+    if n <= 2 * _SCAN_BLOCK:
+        return _ds_scan_zero_state(drive_hi, drive_lo, pole_hi, pole_lo)
+
+    block = _SCAN_BLOCK
+    nblocks = -(-n // block)
+    pad = nblocks * block - n
+    bh = jnp.pad(drive_hi, (0, pad)).reshape(nblocks, block)
+    bl = jnp.pad(drive_lo, (0, pad)).reshape(nblocks, block)
+
+    local_h, local_l = _ds_scan_zero_state(bh, bl, pole_hi, pole_lo)
+
+    powers64 = _np.float64(pole) ** _np.arange(1, block + 1)
+    pw_h, pw_l = _ds_const(powers64, dtype, (block,))
+    ab_h, ab_l = _ds_const(powers64[-1], dtype)
+
+    # carry chain over block summaries (nblocks entries, ds affine maps)
+    a_h = jnp.broadcast_to(ab_h, (nblocks,))
+    a_l = jnp.broadcast_to(ab_l, (nblocks,))
+    _, _, c_h, c_l = jax.lax.associative_scan(
+        lambda l, r: _ds_combine(l, r),
+        (a_h, a_l, local_h[:, -1], local_l[:, -1]),
+    )
+    zero = jnp.zeros((1,), dtype)
+    cin_h = jnp.concatenate([zero, c_h[:-1]])
+    cin_l = jnp.concatenate([zero, c_l[:-1]])
+
+    corr = _ds_mul((pw_h[None, :], pw_l[None, :]), (cin_h[:, None], cin_l[:, None]))
+    y_h, y_l = _ds_add((local_h, local_l), corr)
+    return y_h.reshape(-1)[:n], y_l.reshape(-1)[:n]
+
+
 def lfilter_first_order(
     filt: FirstOrderFilter, x: jax.Array, zi: jax.Array | float | None = None
 ) -> jax.Array:
@@ -190,14 +309,41 @@ def lfilter_first_order(
 
     DF2T semantics: y[0] = b0*x[0] + zi, then
     y[i] = b0*x[i] + b1*x[i-1] - a1*y[i-1].
+
+    float32 signals with a near-unit pole route through the compensated
+    double-single scan (~100 dB better than naive float32 for the
+    limiter's hold/release filters); float64 and fast poles use the plain
+    blocked scan.
     """
     dtype = x.dtype
-    drive = filt.b0 * x
+    use_ds = (
+        dtype == jnp.float32
+        and abs(filt.pole) > _DS_POLE_THRESHOLD
+        and x.shape[0] <= _SEQUENTIAL_LIMIT
+    )
+    if not use_ds:
+        drive = filt.b0 * x
+        if filt.b1 != 0.0:
+            drive = drive.at[1:].add(filt.b1 * x[:-1])
+        if zi is not None:
+            drive = drive.at[0].add(jnp.asarray(zi, dtype=dtype))
+        return scan_first_order(drive, filt.pole)
+
+    import numpy as _np
+
+    b0h, b0l = _ds_const(_np.float64(filt.b0), dtype)
+    dh, dl = _two_prod(b0h, x)
+    dl = dl + b0l * x
     if filt.b1 != 0.0:
-        drive = drive.at[1:].add(filt.b1 * x[:-1])
+        b1h, b1l = _ds_const(_np.float64(filt.b1), dtype)
+        prev = jnp.concatenate([jnp.zeros((1,), dtype), x[:-1]])
+        ph, plo = _two_prod(b1h, prev)
+        plo = plo + b1l * prev
+        dh, dl = _ds_add((dh, dl), (ph, plo))
     if zi is not None:
-        drive = drive.at[0].add(jnp.asarray(zi, dtype=dtype))
-    return scan_first_order(drive, filt.pole)
+        dh = dh.at[0].add(jnp.asarray(zi, dtype=dtype))
+    y_h, y_l = scan_first_order_ds(dh, dl, filt.pole)
+    return y_h + y_l
 
 
 def filtfilt_first_order(filt: FirstOrderFilter, x: jax.Array) -> jax.Array:
