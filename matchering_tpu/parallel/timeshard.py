@@ -192,10 +192,67 @@ def _ext_affine(filt: iir.FirstOrderFilter, ext: jax.Array, zi_scale) -> Affine:
     return pole ** ext.shape[0], y[-1]
 
 
+def _carried_scan_ds(
+    drive_hi: jax.Array, drive_lo: jax.Array, pole: float, axis: str
+) -> jax.Array:
+    """Compensated (double-single) forward carried scan across shards —
+    float32 counterpart of :func:`carried_scan` for near-unit poles (the
+    naive f32 form loses ~k*eps in its p^k terms; see ``ops/iir.py``)."""
+    import numpy as _np
+
+    dtype = drive_hi.dtype
+    local_h, local_l = iir.scan_first_order_ds(drive_hi, drive_lo, pole)
+    n_local = drive_hi.shape[0]
+
+    a_h, a_l = iir._ds_const(_np.float64(pole) ** n_local, dtype)
+    summary = jnp.stack([a_h, a_l, local_h[-1], local_l[-1]])
+    stacked = jax.lax.all_gather(summary, axis, axis=0)  # (D, 4)
+    d = jax.lax.axis_index(axis)
+    n_shards = _num_shards(axis)
+    ident = jnp.asarray([1.0, 0.0, 0.0, 0.0], dtype=dtype)
+    keep = jnp.arange(n_shards) < d
+    masked = jnp.where(keep[:, None], stacked, ident[None, :])
+
+    def compose(carry, block):
+        out = iir._ds_combine(tuple(carry), (block[0], block[1], block[2], block[3]))
+        return jnp.stack(out), None
+
+    start = jnp.asarray([1.0, 0.0, 0.0, 0.0], dtype=dtype)
+    carry, _ = jax.lax.scan(compose, start, masked)
+    u_in = (carry[2], carry[3])
+
+    powers64 = _np.float64(pole) ** _np.arange(1, n_local + 1)
+    pw = iir._ds_const(powers64, dtype, (n_local,))
+    corr = iir._ds_mul(pw, (jnp.broadcast_to(u_in[0], (n_local,)),
+                            jnp.broadcast_to(u_in[1], (n_local,))))
+    y_h, y_l = iir._ds_add((local_h, local_l), corr)
+    return y_h + y_l
+
+
 def lfilter_first_order_sharded(
     filt: iir.FirstOrderFilter, x_local: jax.Array, axis: str
 ) -> jax.Array:
-    """Sharded ``scipy.signal.lfilter([b0,b1], [1,a1], x)``, zero state."""
+    """Sharded ``scipy.signal.lfilter([b0,b1], [1,a1], x)``, zero state.
+
+    float32 signals with near-unit poles (the limiter's hold/release
+    low-passes) use the compensated double-single machinery, matching the
+    single-device quality (~104 dB vs the float64 oracle)."""
+    dtype = x_local.dtype
+    if dtype == jnp.float32 and abs(filt.pole) > iir._DS_POLE_THRESHOLD:
+        import numpy as _np
+
+        b0h, b0l = iir._ds_const(_np.float64(filt.b0), dtype)
+        dh, dl = iir._two_prod(b0h, x_local)
+        dl = dl + b0l * x_local
+        if filt.b1 != 0.0:
+            prev = _halo_from_left(x_local, 1, axis)
+            shifted = jnp.concatenate([prev, x_local[:-1]])
+            b1h, b1l = iir._ds_const(_np.float64(filt.b1), dtype)
+            ph, plo = iir._two_prod(b1h, shifted)
+            plo = plo + b1l * shifted
+            dh, dl = iir._ds_add((dh, dl), (ph, plo))
+        return _carried_scan_ds(dh, dl, filt.pole, axis)
+
     drive = filt.b0 * x_local
     if filt.b1 != 0.0:
         prev = _halo_from_left(x_local, 1, axis)  # zeros on shard 0 == x[-1]=0

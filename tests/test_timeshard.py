@@ -186,3 +186,22 @@ class TestShardedMaster:
         assert got.result.shape == expected.result.shape
         value = snr(np.asarray(expected.result), np.asarray(got.result))
         assert value > 100.0, f"padded sharded SNR {value:.1f} dB"
+
+
+class TestShardedDsScan:
+    def test_f32_sharded_lfilter_matches_f64_oracle(self, tmesh, rng, snr):
+        """float32 sharded hold/release filters keep double-single accuracy."""
+        from scipy import signal as ssig
+
+        x64 = np.abs(rng.randn(8 * 100000)) * 0.01
+        filt = iir.butter1_coefficients(800 / 3000, 44100)
+        expected = ssig.lfilter([filt.b0, filt.b1], [1.0, filt.a1], x64)
+
+        x32 = jnp.asarray(x64, jnp.float32)
+        got = run_sharded_1d(
+            tmesh,
+            lambda xl: timeshard.lfilter_first_order_sharded(filt, xl, "time"),
+            x32,
+        )
+        value = snr(expected, got.astype(np.float64))
+        assert value > 120.0, f"sharded ds lfilter SNR {value:.1f} dB"
