@@ -158,3 +158,66 @@ class TestLowessParity:
         got = np.asarray(jlowess.smooth(jnp.asarray(y), 0.0375, 0, 0.001))
         value = snr(expected, got)
         assert value > 100.0, f"lowess SNR {value:.1f} dB"
+
+
+class TestConfigSweep:
+    """edited_config.py-style sweep breadth (BASELINE.md: 'SNR bound vs
+    reference across configs')."""
+
+    @pytest.mark.parametrize(
+        "kwargs",
+        [
+            dict(fft_size=2048),
+            dict(lin_log_oversampling=2),
+            dict(rms_correction_steps=2),
+            dict(lowess_it=1),
+            dict(threshold=0.7079),
+        ],
+        ids=["fft2048", "oversample2", "rms2", "lowess_it1", "threshold-3db"],
+    )
+    def test_sweep_case(self, tracks, reference_matchering, snr, kwargs):
+        target, reference = tracks
+        ref_cfg = reference_matchering.Config(**kwargs)
+        ref_result, _, _ = reference_matchering.stages.main(
+            target.copy(), reference.copy(), ref_cfg, True, False, False
+        )
+        cfg = mg.Config(dtype="float64", **kwargs)
+        ours = run_ours(target, reference, cfg, need_default=True)
+        value = snr(ref_result, np.asarray(ours.result))
+        assert value > 70.0, f"{kwargs} SNR {value:.1f} dB"
+
+    def test_custom_limiter_times(self, tracks, reference_matchering, snr):
+        target, reference = tracks
+        lim = dict(attack=2.0, hold=0.5, release=1500.0)
+        ref_cfg = reference_matchering.Config(
+            limiter=reference_matchering.defaults.LimiterConfig(**lim)
+        )
+        ref_result, _, _ = reference_matchering.stages.main(
+            target.copy(), reference.copy(), ref_cfg, True, False, False
+        )
+        cfg = mg.Config(dtype="float64", limiter=mg.LimiterConfig(**lim))
+        ours = run_ours(target, reference, cfg, need_default=True)
+        value = snr(ref_result, np.asarray(ours.result))
+        assert value > 70.0, f"custom limiter SNR {value:.1f} dB"
+
+
+class TestProcessErrors:
+    def test_empty_results(self, tmp_path):
+        with pytest.raises(RuntimeError, match="empty"):
+            mg.process("a.wav", "b.wav", [])
+
+    def test_missing_file_raises_coded_error(self, tmp_path):
+        out = mg.pcm16(str(tmp_path / "out.wav"))
+        with pytest.raises(mg.ModuleError):
+            mg.process(str(tmp_path / "missing.wav"), str(tmp_path / "m2.wav"), [out])
+
+    def test_equal_inputs_rejected(self, tmp_path):
+        from matchering_tpu.io import wav as wavio
+
+        rng = np.random.RandomState(0)
+        x = np.clip(rng.randn(50000, 2) * 0.3, -1, 1)
+        p1, p2 = str(tmp_path / "a.wav"), str(tmp_path / "b.wav")
+        wavio.write(p1, x, 44100, "FLOAT")
+        wavio.write(p2, x, 44100, "FLOAT")
+        with pytest.raises(mg.ModuleError):
+            mg.process(p1, p2, [mg.pcm16(str(tmp_path / "out.wav"))])
