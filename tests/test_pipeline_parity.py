@@ -221,3 +221,34 @@ class TestProcessErrors:
         wavio.write(p2, x, 44100, "FLOAT")
         with pytest.raises(mg.ModuleError):
             mg.process(p1, p2, [mg.pcm16(str(tmp_path / "out.wav"))])
+
+
+class TestEdgeLengths:
+    @pytest.mark.parametrize("seconds", [0.2, 1.0])
+    def test_short_tracks(self, reference_matchering, snr, seconds):
+        """Tracks barely above fft_size: divisions=1, single analysis piece."""
+        rng = np.random.RandomState(77)
+        target = make_track(rng, seconds, kind="target")
+        reference = make_track(rng, seconds + 0.13, kind="ref")
+        ref_cfg = reference_matchering.Config()
+        ref_result, _, _ = reference_matchering.stages.main(
+            target.copy(), reference.copy(), ref_cfg, True, False, False
+        )
+        cfg = mg.Config(dtype="float64")
+        ours = run_ours(target, reference, cfg, need_default=True)
+        value = snr(ref_result, np.asarray(ours.result))
+        assert value > 70.0, f"short track ({seconds}s) SNR {value:.1f} dB"
+
+    def test_exact_piece_multiple(self, reference_matchering, snr):
+        """Length exactly k * max_piece_size hits the divisions=k+1 branch."""
+        rng = np.random.RandomState(78)
+        target = make_track(rng, 30.0, kind="target")[: 2 * 661500]
+        reference = make_track(rng, 17.0, kind="ref")
+        ref_cfg = reference_matchering.Config()
+        ref_result, _, _ = reference_matchering.stages.main(
+            target.copy(), reference.copy(), ref_cfg, True, False, False
+        )
+        cfg = mg.Config(dtype="float64")
+        ours = run_ours(target, reference, cfg, need_default=True)
+        value = snr(ref_result, np.asarray(ours.result))
+        assert value > 70.0, f"exact-multiple SNR {value:.1f} dB"
