@@ -140,7 +140,11 @@ def resample(x: jax.Array, sr_in: int, sr_out: int) -> jax.Array:
     padded = jnp.pad(x, ((pad_left, pad_right), (0, 0)))
     windows = overlapping_blocks(padded, nblocks, block_in, width)
 
-    w = jnp.asarray(plan.weights, dtype=x.dtype)
+    # cast on host first: jnp.asarray would warn when float64 is unavailable
+    weight_dtype = np.dtype(x.dtype)
+    if weight_dtype == np.float64 and not jax.config.jax_enable_x64:
+        weight_dtype = np.dtype(np.float32)
+    w = jnp.asarray(plan.weights.astype(weight_dtype))
     out = jnp.einsum("bwc,ow->boc", windows, w)  # (nblocks, block_out, ch)
     out = out.reshape(nblocks * block_out, x.shape[1])[:n_out]
     return out[:, 0] if squeeze else out
