@@ -57,11 +57,11 @@ def _envelope_kernel(cur_ref, nxt_ref, gain_ref, slided_ref, *, threshold, windo
         env = jnp.maximum(peak * inv_thr, 1.0)
         return 1.0 - 1.0 / env  # 0 where the signal stays below threshold
 
-    gain_cur = hard_clip_gain(cur_ref[:])
-    gain_next = hard_clip_gain(nxt_ref[: window - 1])
+    gain_cur = hard_clip_gain(cur_ref[0])
+    gain_next = hard_clip_gain(nxt_ref[0, : window - 1])
 
-    gain_ref[:] = gain_cur
-    slided_ref[:] = _sliding_start_max(
+    gain_ref[0, :] = gain_cur
+    slided_ref[0, :] = _sliding_start_max(
         jnp.concatenate([gain_cur, gain_next]), window
     )
 
@@ -91,29 +91,35 @@ def limiter_front_end(
     m = stream.shape[0]
     nb = -(-m // _BLOCK)
     stream = jnp.pad(stream, ((0, nb * _BLOCK - m), (0, 0)))
+    # 3-D/2-D tiles: with flat 1-D outputs Mosaic stack-allocates the whole
+    # output array in VMEM (observed 64 MB scoped-vmem OOM); explicit
+    # (1, block) tiling keeps the working set to one block per grid step
+    stream3 = stream.reshape(nb, _BLOCK, 2)
 
     grid_spec = pl.GridSpec(
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((_BLOCK, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLOCK, 2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (_BLOCK, 2),
-                lambda i: (jnp.minimum(i + 1, nb - 1), 0),
+                (1, _BLOCK, 2),
+                lambda i: (jnp.minimum(i + 1, nb - 1), 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
-            pl.BlockSpec((_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLOCK), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLOCK), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
     )
     kernel = functools.partial(_envelope_kernel, threshold=threshold, window=window)
     gain, slided = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((nb * _BLOCK,), array.dtype),
-            jax.ShapeDtypeStruct((nb * _BLOCK,), array.dtype),
+            jax.ShapeDtypeStruct((nb, _BLOCK), array.dtype),
+            jax.ShapeDtypeStruct((nb, _BLOCK), array.dtype),
         ],
         grid_spec=grid_spec,
-    )(stream, stream)
+    )(stream3, stream3)
+    gain = gain.reshape(-1)
+    slided = slided.reshape(-1)
     return gain[half : half + n], slided[:n]
