@@ -35,6 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..utils import make_odd
 
 _BLOCK = 1 << 15
+_LANE = 128
+_ROWS = _BLOCK // _LANE  # output tile (rows, lanes) per grid step
 
 
 def _sliding_start_max(x: jax.Array, window: int) -> jax.Array:
@@ -60,10 +62,9 @@ def _envelope_kernel(cur_ref, nxt_ref, gain_ref, slided_ref, *, threshold, windo
     gain_cur = hard_clip_gain(cur_ref[0])
     gain_next = hard_clip_gain(nxt_ref[0, : window - 1])
 
-    gain_ref[0, :] = gain_cur
-    slided_ref[0, :] = _sliding_start_max(
-        jnp.concatenate([gain_cur, gain_next]), window
-    )
+    gain_ref[:, :] = gain_cur.reshape(gain_ref.shape)
+    slided = _sliding_start_max(jnp.concatenate([gain_cur, gain_next]), window)
+    slided_ref[:, :] = slided.reshape(slided_ref.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("threshold", "attack"))
@@ -107,16 +108,16 @@ def limiter_front_end(
             ),
         ],
         out_specs=[
-            pl.BlockSpec((1, _BLOCK), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BLOCK), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
     )
     kernel = functools.partial(_envelope_kernel, threshold=threshold, window=window)
     gain, slided = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((nb, _BLOCK), array.dtype),
-            jax.ShapeDtypeStruct((nb, _BLOCK), array.dtype),
+            jax.ShapeDtypeStruct((nb * _ROWS, _LANE), array.dtype),
+            jax.ShapeDtypeStruct((nb * _ROWS, _LANE), array.dtype),
         ],
         grid_spec=grid_spec,
     )(stream3, stream3)
