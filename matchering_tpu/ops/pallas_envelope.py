@@ -19,7 +19,15 @@ per-sample gain computation, so the stereo signal is mirrored by
 ``window//2`` samples on both ends *before* blocking — the kernel itself
 is edge-case-free and the result is exactly equal to
 ``basics.flip(1/basics.rectify(x)) -> sliding.sliding_max_attack`` for any
-length (validated in ``tests/test_pallas.py``, interpret mode and chip).
+length (validated in ``tests/test_pallas.py``, interpret mode).
+
+Status on this environment's TPU backend: the axon AOT compiler charges a
+constant ~64 MB of scoped VMEM stack to this kernel (independent of input
+size — the shift-doubling maxima's unaligned lane-offset slices each force
+full-array relayout scratch) and rejects it against the 16 MB limit, so
+the kernel stays opt-in (``MATCHERING_TPU_PALLAS=1``) and the XLA ops
+carry the default path.  A lane-structured rewrite (sublane rolls +
+cross-lane carries on a (rows, 128) layout) is the known fix.
 """
 
 from __future__ import annotations
