@@ -205,3 +205,35 @@ class TestShardedDsScan:
         )
         value = snr(expected, got.astype(np.float64))
         assert value > 120.0, f"sharded ds lfilter SNR {value:.1f} dB"
+
+
+class TestMasterFarm:
+    def test_farm_2d_mesh_matches_single_device(self, snr):
+        """(pairs=2, time=4) farm == per-pair single-device master."""
+        from test_pipeline_parity import make_track
+
+        from matchering_tpu.parallel import make_mesh
+
+        rng = np.random.RandomState(9)
+        t1 = make_track(rng, 6.0, kind="target")
+        t2 = make_track(rng, 6.0, kind="target") * 0.8
+        r1 = make_track(rng, 5.0, kind="ref")
+        r2 = make_track(rng, 5.0, kind="ref") * 0.9
+        cfg = mg.Config(dtype="float64")
+        mesh = make_mesh(pairs=2, time=4)
+
+        out = timeshard.master_farm(
+            np.stack([t1, t2]), np.stack([r1, r2]), cfg, mesh=mesh,
+            need_default=True, need_no_limiter_normalized=True,
+        )
+        for i, (t, r) in enumerate([(t1, r1), (t2, r2)]):
+            single = mg.master_graph(jnp.asarray(t), jnp.asarray(r), cfg,
+                                     need_default=True,
+                                     need_no_limiter_normalized=True)
+            v1 = snr(np.asarray(single.result), np.asarray(out.result[i]))
+            v2 = snr(
+                np.asarray(single.result_no_limiter_normalized),
+                np.asarray(out.result_no_limiter_normalized[i]),
+            )
+            assert v1 > 110.0, f"pair {i} limited SNR {v1:.1f} dB"
+            assert v2 > 110.0, f"pair {i} normalized SNR {v2:.1f} dB"
