@@ -17,12 +17,12 @@ mg.process(
         mg.Result(
             "custom_result_24bit_no_limiter.flac", subtype="PCM_24", use_limiter=False
         ),
-        # AIFF 32-bit, match only (no limiter), non-normalized
+        # AIFF 32-bit float, match only (no limiter), non-normalized
         # Can exceed 0 dB without clipping, so you can feed it directly to
         # a limiter plugin in your DAW
         mg.Result(
             "custom_result_32bit_no_limiter_non-normalized.aiff",
-            subtype="PCM_32",
+            subtype="FLOAT",
             use_limiter=False,
             normalize=False,
         ),

@@ -23,8 +23,8 @@ from .native import binding as native
 
 _WRITE_FORMATS = {
     "WAV": ("PCM_16", "PCM_24", "PCM_32", "FLOAT", "DOUBLE"),
-    "AIFF": ("PCM_16", "PCM_24", "PCM_32"),
-    "AIF": ("PCM_16", "PCM_24", "PCM_32"),
+    "AIFF": ("PCM_16", "PCM_24", "PCM_32", "FLOAT"),
+    "AIF": ("PCM_16", "PCM_24", "PCM_32", "FLOAT"),
     # FLAC via the native C++ codec (matchering_tpu/io/native/flac.cpp)
     "FLAC": ("PCM_16", "PCM_24"),
 }

@@ -310,3 +310,14 @@ class TestFlacCodec:
         y, sr = codecs.read(path)
         assert sr == 22050 and y.shape == (4097, 1)
         assert np.abs(y - x).max() <= 2**-15 + 1e-12
+
+
+class TestAifcFloat:
+    def test_float_roundtrip_preserves_over_0db(self, tmp_path, rng):
+        x = rng.randn(4000, 2) * 1.5  # deliberately exceeds full scale
+        path = str(tmp_path / "f.aiff")
+        aiff.write(path, x, 44100, "FLOAT")
+        y, sr = codecs.read(path)
+        assert sr == 44100
+        np.testing.assert_allclose(y, x, atol=1e-6)
+        assert np.abs(y).max() > 1.0  # float samples are not clipped
