@@ -261,10 +261,45 @@ def _ds_scan_zero_state(drive_hi, drive_lo, pole_hi, pole_lo):
     return uh, ul
 
 
+def _ds_two_level(bh, bl, pole, pole_hi, pole_lo, dtype):
+    """Zero-entry-state ds solution over a (rows, block) drive view:
+    per-row ds scans + a ds scan over the row affine summaries + broadcast
+    carry correction.  Returns (y_hi, y_lo) of shape (rows, block)."""
+    import numpy as _np
+
+    rows, block = bh.shape
+    local_h, local_l = _ds_scan_zero_state(bh, bl, pole_hi, pole_lo)
+
+    powers64 = _np.float64(pole) ** _np.arange(1, block + 1)
+    pw_h, pw_l = _ds_const(powers64, dtype, (block,))
+    ab_h, ab_l = _ds_const(powers64[-1], dtype)
+
+    # carry chain over row summaries (rows entries, ds affine maps)
+    a_h = jnp.broadcast_to(ab_h, (rows,))
+    a_l = jnp.broadcast_to(ab_l, (rows,))
+    _, _, c_h, c_l = jax.lax.associative_scan(
+        lambda l, r: _ds_combine(l, r),
+        (a_h, a_l, local_h[:, -1], local_l[:, -1]),
+    )
+    zero = jnp.zeros((1,), dtype)
+    cin_h = jnp.concatenate([zero, c_h[:-1]])
+    cin_l = jnp.concatenate([zero, c_l[:-1]])
+
+    corr = _ds_mul((pw_h[None, :], pw_l[None, :]), (cin_h[:, None], cin_l[:, None]))
+    return _ds_add((local_h, local_l), corr)
+
+
 def scan_first_order_ds(drive_hi: jax.Array, drive_lo: jax.Array, pole: float):
     """Compensated solve of y[i] = drive[i] + pole*y[i-1] (zero entry state)
     for float32 signals; returns (y_hi, y_lo).  ``pole`` is a host float
-    carried to ~double precision as a float32 pair."""
+    carried to ~double precision as a float32 pair.
+
+    Long signals (n > _SEQUENTIAL_LIMIT) use the same sequential mega-block
+    decomposition as :func:`scan_first_order` — a ``lax.scan`` over ~4M-sample
+    mega-blocks with a double-single carry, each mega-block solved with the
+    parallel ds two-level form — so hour-long float32 masters keep ~double
+    accuracy instead of falling off the ds cliff (the naive f32 scan floors
+    at ~70 dB for the limiter's near-unit release pole)."""
     import numpy as _np
 
     dtype = drive_hi.dtype
@@ -275,30 +310,40 @@ def scan_first_order_ds(drive_hi: jax.Array, drive_lo: jax.Array, pole: float):
         return _ds_scan_zero_state(drive_hi, drive_lo, pole_hi, pole_lo)
 
     block = _SCAN_BLOCK
+
+    if n > _SEQUENTIAL_LIMIT:
+        rows = _SEQ_MEGA_ROWS
+        mega = rows * block
+        nmega = -(-n // mega)
+        pad = nmega * mega - n
+        mh = jnp.pad(drive_hi, (0, pad)).reshape(nmega, rows, block)
+        ml = jnp.pad(drive_lo, (0, pad)).reshape(nmega, rows, block)
+
+        # pole^(r*block + c) for the carry broadcast, as a ds pair
+        mega_pows64 = _np.float64(pole) ** (
+            _np.arange(1, block + 1)[None, :] + (_np.arange(rows) * block)[:, None]
+        )
+        mp_h, mp_l = _ds_const(mega_pows64, dtype, (rows, block))
+        am_h, am_l = _ds_const(_np.float64(pole) ** mega, dtype)
+
+        def step(carry, drives):
+            dh, dl = drives
+            ch, cl = carry
+            y0h, y0l = _ds_two_level(dh, dl, pole, pole_hi, pole_lo, dtype)
+            corr_h, corr_l = _ds_mul((mp_h, mp_l), (ch, cl))
+            yh, yl = _ds_add((y0h, y0l), (corr_h, corr_l))
+            new_c = _ds_add(_ds_mul((am_h, am_l), (ch, cl)), (y0h[-1, -1], y0l[-1, -1]))
+            return new_c, (yh, yl)
+
+        zero = jnp.zeros((), dtype)
+        _, (ys_h, ys_l) = jax.lax.scan(step, (zero, zero), (mh, ml))
+        return ys_h.reshape(-1)[:n], ys_l.reshape(-1)[:n]
+
     nblocks = -(-n // block)
     pad = nblocks * block - n
     bh = jnp.pad(drive_hi, (0, pad)).reshape(nblocks, block)
     bl = jnp.pad(drive_lo, (0, pad)).reshape(nblocks, block)
-
-    local_h, local_l = _ds_scan_zero_state(bh, bl, pole_hi, pole_lo)
-
-    powers64 = _np.float64(pole) ** _np.arange(1, block + 1)
-    pw_h, pw_l = _ds_const(powers64, dtype, (block,))
-    ab_h, ab_l = _ds_const(powers64[-1], dtype)
-
-    # carry chain over block summaries (nblocks entries, ds affine maps)
-    a_h = jnp.broadcast_to(ab_h, (nblocks,))
-    a_l = jnp.broadcast_to(ab_l, (nblocks,))
-    _, _, c_h, c_l = jax.lax.associative_scan(
-        lambda l, r: _ds_combine(l, r),
-        (a_h, a_l, local_h[:, -1], local_l[:, -1]),
-    )
-    zero = jnp.zeros((1,), dtype)
-    cin_h = jnp.concatenate([zero, c_h[:-1]])
-    cin_l = jnp.concatenate([zero, c_l[:-1]])
-
-    corr = _ds_mul((pw_h[None, :], pw_l[None, :]), (cin_h[:, None], cin_l[:, None]))
-    y_h, y_l = _ds_add((local_h, local_l), corr)
+    y_h, y_l = _ds_two_level(bh, bl, pole, pole_hi, pole_lo, dtype)
     return y_h.reshape(-1)[:n], y_l.reshape(-1)[:n]
 
 
@@ -316,11 +361,7 @@ def lfilter_first_order(
     blocked scan.
     """
     dtype = x.dtype
-    use_ds = (
-        dtype == jnp.float32
-        and abs(filt.pole) > _DS_POLE_THRESHOLD
-        and x.shape[0] <= _SEQUENTIAL_LIMIT
-    )
+    use_ds = dtype == jnp.float32 and abs(filt.pole) > _DS_POLE_THRESHOLD
     if not use_ds:
         drive = filt.b0 * x
         if filt.b1 != 0.0:

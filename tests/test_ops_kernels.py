@@ -266,3 +266,40 @@ class TestFlatAnalysisOps:
         finally:
             iir._SEQUENTIAL_LIMIT = old
         np.testing.assert_allclose(got, expected, rtol=1e-12, atol=1e-12)
+
+    def test_ds_sequential_mega_scan_matches_parallel(self, rng):
+        """The compensated f32 scan's sequential mega-block mode must equal
+        its fully parallel form (same ds arithmetic, different blocking)."""
+        from matchering_tpu.ops import iir
+
+        x = jnp.asarray(rng.randn(300000).astype(np.float32))
+        filt = iir.butter1_coefficients(7.0, 44100)  # pole ~0.999
+        expected = np.asarray(iir.lfilter_first_order(filt, x))
+        old = iir._SEQUENTIAL_LIMIT
+        try:
+            iir._SEQUENTIAL_LIMIT = 1 << 17
+            got = np.asarray(iir.lfilter_first_order(filt, x))
+        finally:
+            iir._SEQUENTIAL_LIMIT = old
+        np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-7)
+
+    def test_longform_f32_holds_ds_accuracy(self, rng, snr):
+        """VERDICT r1 item 2: a >=64M-sample float32 signal (above
+        _SEQUENTIAL_LIMIT, i.e. the long-form mega-block mode) through the
+        limiter's near-unit-pole hold and release filters must stay >100 dB
+        vs the float64 oracle — the ds scan may not silently fall back to
+        naive float32 (reference numerics: matchering/limiter/hyrax.py:61-75
+        at any length)."""
+        from matchering_tpu.ops import iir
+
+        n = 1 << 26  # 67.1M samples ≈ 25 min at 44.1k — above the 2^25 limit
+        x64 = rng.randn(n)
+        x32 = jnp.asarray(x64.astype(np.float32))
+        for cutoff in (7.0, 800.0 / 3000.0):
+            filt = iir.butter1_coefficients(cutoff, 44100)
+            assert abs(filt.pole) > iir._DS_POLE_THRESHOLD
+            expected = signal.lfilter([filt.b0, filt.b1], [1.0, filt.a1], x64)
+            got = np.asarray(iir.lfilter_first_order(filt, x32))
+            assert got.dtype == np.float32
+            measured = snr(expected, got)
+            assert measured > 100.0, (cutoff, measured)
