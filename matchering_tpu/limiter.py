@@ -28,13 +28,21 @@ from .ops import basics, iir, sliding
 from .utils import ms_to_samples
 
 
-def _attack_stage(envelope: jax.Array, config: Config):
+def _attack_stage(envelope: jax.Array, config: Config, length=None):
     """Centered sliding max + zero-phase one-pole smoothing
-    (reference ``hyrax.py:43-53``).  Returns (smoothed, slided)."""
+    (reference ``hyrax.py:43-53``).  Returns (smoothed, slided).
+
+    With a traced ``length`` (bucket-padded batch entry), the sliding max
+    reflects at the true track end and the zero-phase filter's backward
+    pass starts from the odd-extension state at that boundary — exactly the
+    reference's numbers at the exact track length."""
     attack = ms_to_samples(config.limiter.attack, config.internal_sample_rate)
-    slided = sliding.sliding_max_attack(envelope, attack)
     smoother = iir.one_pole_filter(config.limiter.attack_filter_coefficient, attack)
-    return iir.filtfilt_first_order(smoother, slided), slided
+    if length is None:
+        slided = sliding.sliding_max_attack(envelope, attack)
+        return iir.filtfilt_first_order(smoother, slided), slided
+    slided = sliding.sliding_max_attack_truncated(envelope, attack, length)
+    return iir.filtfilt_first_order_truncated(smoother, slided, length), slided
 
 
 def _release_stage(slided_attack: jax.Array, config: Config) -> jax.Array:
@@ -76,15 +84,24 @@ def _use_pallas() -> bool:
     )
 
 
-def limit(array: jax.Array, config: Config) -> jax.Array:
+def limit(array: jax.Array, config: Config, length=None) -> jax.Array:
     """Brickwall-limit a stereo (n, 2) array at ``config.threshold``.
 
     Pure function of the input; identical output to the reference
     ``limit()`` (``hyrax.py:78-99``) within float tolerance.
+
+    ``length`` (optional, traced): the true track length of a bucket-padded
+    entry.  The gain envelope is then computed with the track ending at
+    ``length`` — samples beyond it are forced to the no-overage envelope,
+    the anti-causal attack stage gets exact end-boundary semantics, and the
+    output beyond ``length`` is zeroed.  Output on [0, length) equals
+    ``limit(array[:length], config)``.
     """
     rectified = basics.rectify(array, config.threshold)
+    if length is not None:
+        rectified = jnp.where(jnp.arange(rectified.shape[0]) < length, rectified, 1.0)
 
-    if _use_pallas():
+    if length is None and _use_pallas():
         from .ops.pallas_envelope import limiter_front_end
 
         attack = ms_to_samples(config.limiter.attack, config.internal_sample_rate)
@@ -98,13 +115,17 @@ def limit(array: jax.Array, config: Config) -> jax.Array:
         hard_clip_slided = slided
     else:
         gain_hard_clip = basics.flip(1.0 / rectified)
-        gain_attack, hard_clip_slided = _attack_stage(gain_hard_clip, config)
+        gain_attack, hard_clip_slided = _attack_stage(gain_hard_clip, config, length)
     gain_release = _release_stage(hard_clip_slided, config)
 
     gain = basics.flip(basics.max_mix(gain_hard_clip, gain_attack, gain_release))
     limited = array * gain[:, None]
+    if length is not None:
+        limited = limited * (jnp.arange(array.shape[0]) < length)[:, None]
 
     # Reference early-out (hyrax.py:83-85): if nothing exceeds the threshold
     # (within np.isclose tolerance) the input passes through untouched.
+    # (With a traced length the beyond-boundary envelope is exactly 1, so
+    # the all() reduction matches the true-length check.)
     not_needed = jnp.all(jnp.abs(rectified - 1.0) <= 1e-8 + 1e-5 * 1.0)
     return jnp.where(not_needed, array, limited)

@@ -164,6 +164,42 @@ def piece_rms_flat(array: jax.Array, piece_size: int, divisions: int) -> jax.Arr
     return jnp.sqrt(totals / piece_size)
 
 
+def piece_rms_dynamic(
+    array: jax.Array, piece_size: jax.Array, divisions: jax.Array, div_max: int
+) -> Tuple[jax.Array, jax.Array]:
+    """:func:`piece_rms_flat` with *traced* piece geometry — the per-track
+    division of a bucket-padded batch entry (reference exact-length analysis:
+    ``matchering/stage_helpers/match_levels.py:47-59``).
+
+    Same chunked summation as the static form (identical numerics for the
+    valid pieces); boundaries are dynamic indices into the chunk cumulative
+    sum plus masked partial-chunk corrections — a (div_max+1)-row gather,
+    never a full-signal gather.  Returns ``(rmses, valid)`` of shape
+    ``(div_max,)``; entries with index >= divisions are meaningless and
+    flagged 0 in ``valid``.
+    """
+    dtype = array.dtype
+    n = array.shape[0]
+    m = -(-n // _CHUNK)
+    n_used = piece_size * divisions
+    energy = jnp.square(array) * (jnp.arange(n) < n_used)
+    chunks = jnp.pad(energy, (0, m * _CHUNK - n)).reshape(m, _CHUNK)
+    chunk_sums = jnp.sum(chunks, axis=1)
+    cum = jnp.concatenate([jnp.zeros((1,), dtype), jnp.cumsum(chunk_sums)])
+
+    bounds = jnp.arange(div_max + 1) * piece_size  # (div_max+1,) traced
+    j = jnp.minimum(bounds // _CHUNK, m)
+    o = bounds % _CHUNK
+    rows = chunks[jnp.minimum(j, m - 1)]  # (div_max+1, _CHUNK) small gather
+    masks = jnp.arange(_CHUNK)[None, :] < o[:, None]
+    partial = jnp.sum(jnp.where(masks, rows, 0.0), axis=1)
+
+    totals = (cum[j[1:]] - cum[j[:-1]]) - partial[:-1] + partial[1:]
+    rmses = jnp.sqrt(jnp.maximum(totals, 0.0) / piece_size)
+    valid = (jnp.arange(div_max) < divisions).astype(dtype)
+    return rmses, valid
+
+
 def masked_rms(values: jax.Array, mask: jax.Array) -> jax.Array:
     """RMS over the entries selected by ``mask``: sqrt(sum(mask*v^2)/sum(mask)).
 
@@ -184,6 +220,18 @@ def loudest_piece_stats(rmses: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """
     average_rms = rms(rmses)
     mask = (rmses >= average_rms).astype(rmses.dtype)
+    return mask, masked_rms(rmses, mask)
+
+
+def loudest_piece_stats_masked(
+    rmses: jax.Array, valid: jax.Array, divisions: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """:func:`loudest_piece_stats` over the ``valid``-flagged prefix of a
+    dynamically divided track: the average RMS divides by the traced
+    ``divisions`` count and invalid pieces can neither be selected nor
+    contribute to the match RMS."""
+    average_rms = jnp.sqrt(jnp.sum(jnp.square(rmses) * valid) / divisions)
+    mask = ((rmses >= average_rms) * valid).astype(rmses.dtype)
     return mask, masked_rms(rmses, mask)
 
 

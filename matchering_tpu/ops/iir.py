@@ -387,6 +387,80 @@ def lfilter_first_order(
     return y_h + y_l
 
 
+def _scan_drive_routed(drive: jax.Array, pole: float) -> jax.Array:
+    """Zero-entry-state scan of a pre-built drive, routed through the
+    compensated double-single path for float32 near-unit poles (the same
+    routing rule as :func:`lfilter_first_order`)."""
+    if drive.dtype == jnp.float32 and abs(pole) > _DS_POLE_THRESHOLD:
+        y_h, y_l = scan_first_order_ds(drive, jnp.zeros_like(drive), pole)
+        return y_h + y_l
+    return scan_first_order(drive, pole)
+
+
+def filtfilt_first_order_truncated(
+    filt: FirstOrderFilter, x: jax.Array, length: jax.Array
+) -> jax.Array:
+    """``scipy.signal.filtfilt(b, a, x[:length])`` on a zero-padded buffer,
+    with ``length`` a *traced* scalar — the per-track true length of a
+    bucket-padded batch entry (reference semantics:
+    ``matchering/limiter/hyrax.py:48-53`` evaluated at the exact track
+    length).  Output entries at positions >= length are zero.
+
+    Mechanism: the forward pass is ordinary (causal — identical on
+    [0, length) to the true-length run).  The backward (anti-causal) pass
+    must *start* from scipy's odd-extension initial conditions at the
+    dynamic boundary, so the 6 tail-extension samples and their forward/
+    backward warm-up are computed exactly from two small ``dynamic_slice``
+    windows, and the resulting backward entry state is injected into the
+    reversed scan as a one-hot drive impulse at position ``length - 1``
+    (drives beyond the boundary are masked to zero, so the injected state
+    arrives unmodified).  Everything stays static-shaped and vmap-safe.
+    """
+    padlen = 6
+    dtype = x.dtype
+    n = x.shape[0]
+    b0 = jnp.asarray(filt.b0, dtype)
+    b1 = jnp.asarray(filt.b1, dtype)
+    a1 = jnp.asarray(filt.a1, dtype)
+    zi_coef = jnp.asarray(filt.zi(), dtype)
+
+    # forward pass over [head odd extension | x]; causal, so valid on [0, L)
+    head = 2.0 * x[0] - x[padlen:0:-1]
+    ext_in = jnp.concatenate([head, x])
+    y_fwd = lfilter_first_order(filt, ext_in, zi=filt.zi() * ext_in[0])[padlen:]
+
+    # tail odd extension from x[L-7 .. L-1] (requires length >= 7)
+    xs = jax.lax.dynamic_slice(x, (length - 7,), (7,))
+    tail_ext = 2.0 * xs[6] - xs[5::-1]  # x[L-2], x[L-3], ..., x[L-7] flipped
+
+    # forward DF2T state at L-1 recovered from the output: z = b1*x - a1*y
+    y_last = jax.lax.dynamic_slice(y_fwd, (length - 1,), (1,))[0]
+    state = b1 * xs[6] - a1 * y_last
+    y_ext = []
+    for k in range(padlen):
+        yk = b0 * tail_ext[k] + state
+        state = b1 * tail_ext[k] - a1 * yk
+        y_ext.append(yk)
+
+    # backward warm-up over the 6 extension outputs (scipy: zi * y_rev[0])
+    state = zi_coef * y_ext[-1]
+    for k in range(padlen - 1, -1, -1):
+        yb = b0 * y_ext[k] + state
+        state = b1 * y_ext[k] - a1 * yb
+
+    # reversed scan over the masked forward output with the state injected
+    idx = jnp.arange(n)
+    y_masked = jnp.where(idx < length, y_fwd, 0.0)
+    rev = y_masked[::-1]
+    drive = b0 * rev
+    if filt.b1 != 0.0:
+        drive = drive.at[1:].add(b1 * rev[:-1])
+    drive = drive + jnp.where(idx == n - length, state, 0.0)
+    y_rev = _scan_drive_routed(drive, filt.pole)
+    out = y_rev[::-1]
+    return jnp.where(idx < length, out, 0.0)
+
+
 def filtfilt_first_order(filt: FirstOrderFilter, x: jax.Array) -> jax.Array:
     """``scipy.signal.filtfilt(b, a, x)`` for a first-order filter with the
     scipy defaults: odd extension of padlen=6 samples on both ends and

@@ -70,6 +70,31 @@ def sliding_max_attack(array: jax.Array, window_size: int) -> jax.Array:
     return max_filter1d(array, 2 * make_odd(window_size) - 1)
 
 
+def sliding_max_attack_truncated(
+    array: jax.Array, window_size: int, length: jax.Array
+) -> jax.Array:
+    """:func:`sliding_max_attack` evaluated as if the track ended at the
+    *traced* position ``length`` (bucket-padded batches; reference semantics:
+    ``maximum_filter1d`` with 'reflect' at the exact track end,
+    ``matchering/limiter/hyrax.py:35-37``).
+
+    The caller must zero ``array`` beyond ``length``.  Positions whose
+    window stays inside [0, length) are untouched (the padding zeros can
+    only lose a max against the non-negative envelope); the last
+    ``size//2`` outputs — whose windows cross the boundary and need the
+    reflected samples — are recomputed on a small ``dynamic_slice`` window
+    and patched back with ``dynamic_update_slice``.  Requires
+    length >= 4 * make_odd(window_size) - 2 (a few hundred samples; the
+    pipeline's minimum track length is fft_size = 4096).
+    """
+    size = 2 * make_odd(window_size) - 1
+    right = size - size // 2 - 1
+    full = max_filter1d(array, size)
+    window = jax.lax.dynamic_slice(array, (length - 2 * size,), (2 * size,))
+    tail = max_filter1d(window, size)[-right:]
+    return jax.lax.dynamic_update_slice(full, tail, (length - right,))
+
+
 def sliding_max_hold(array: jax.Array, window_size: int) -> jax.Array:
     """Causal sliding max used by the limiter's hold stage
     (reference ``hyrax.py:38-40``): the input is left-padded with

@@ -46,6 +46,45 @@ def masked_average_spectrum(
     return jnp.sum(per_piece * mask[:, None], axis=0) / weight
 
 
+def masked_average_spectrum_dynamic(
+    array: jax.Array,
+    mask: jax.Array,
+    piece_size: jax.Array,
+    div_max: int,
+    fft_size: int,
+    fpp_max: int,
+) -> jax.Array:
+    """:func:`masked_average_spectrum_flat` with *traced* piece geometry —
+    exact-length analysis of a bucket-padded batch entry (reference
+    ``match_frequencies.py:30-42`` framed from each true piece start).
+
+    Frames are fetched as one static-size ``dynamic_slice`` per piece slot
+    (the compile-friendly form on this backend — a flat index gather over
+    the signal is not), reshaped to the aligned (fpp_max, fft_size) grid;
+    frames past each piece's true ``piece_size // fft_size`` count and
+    pieces past the division count carry zero weight.  ``mask`` must
+    already be zero for invalid pieces (``loudest_piece_stats_masked``).
+    """
+    dtype = array.dtype
+    slice_len = fpp_max * fft_size
+    padded = jnp.concatenate([array, jnp.zeros((slice_len,), dtype)])
+    frames = jnp.stack(
+        [
+            jax.lax.dynamic_slice(padded, (p * piece_size,), (slice_len,)).reshape(
+                fpp_max, fft_size
+            )
+            for p in range(div_max)
+        ]
+    )  # (div_max, fpp_max, fft_size)
+    specs = jnp.abs(jnp.fft.rfft(frames, axis=-1)) / fft_size
+    frames_per_piece = piece_size // fft_size
+    frame_valid = (jnp.arange(fpp_max) < frames_per_piece).astype(dtype)
+    weights = mask[:, None] * frame_valid[None, :]
+    total = jnp.sum(specs * weights[:, :, None], axis=(0, 1))
+    selected = jnp.maximum(jnp.sum(mask), 1.0)
+    return total / (selected * jnp.maximum(frames_per_piece, 1))
+
+
 def masked_average_spectrum_flat(
     array: jax.Array, mask: jax.Array, piece_size: int, divisions: int, fft_size: int
 ) -> jax.Array:

@@ -41,14 +41,16 @@ from ..stages import MasterOutput, master_graph
 def _master_vmapped(
     targets: jax.Array,
     references: jax.Array,
+    target_lengths,
+    reference_lengths,
     interp_ops,
     config: Config,
     need_default: bool,
     need_no_limiter: bool,
     need_no_limiter_normalized: bool,
 ) -> MasterOutput:
-    return jax.vmap(
-        lambda t, r: master_graph(
+    def one(t, r, tl, rl):
+        return master_graph(
             t,
             r,
             config,
@@ -56,9 +58,17 @@ def _master_vmapped(
             need_no_limiter=need_no_limiter,
             need_no_limiter_normalized=need_no_limiter_normalized,
             interp_ops=interp_ops,
-        ),
-        in_axes=(0, 0),
-    )(targets, references)
+            target_length=tl,
+            reference_length=rl,
+        )
+
+    if target_lengths is None:
+        return jax.vmap(
+            lambda t, r: one(t, r, None, None), in_axes=(0, 0)
+        )(targets, references)
+    return jax.vmap(one, in_axes=(0, 0, 0, 0))(
+        targets, references, target_lengths, reference_lengths
+    )
 
 
 def master_batch(
@@ -69,16 +79,39 @@ def master_batch(
     need_default: bool = True,
     need_no_limiter: bool = False,
     need_no_limiter_normalized: bool = False,
+    target_lengths=None,
+    reference_lengths=None,
 ) -> MasterOutput:
     """Master a batch of pairs: targets (B, n, 2) x references (B, m, 2).
 
     With a mesh, the batch axis is sharded over the ``pairs`` mesh axis
     before dispatch; without one, the batch runs on the default device.
+
+    ``target_lengths`` / ``reference_lengths`` ((B,) int arrays, optional):
+    true per-track lengths of bucket-padded entries (``bucket_pad``).  When
+    given, every entry is analyzed/limited at its exact length, so batch
+    entry i equals the single-pair master of the unpadded pair i (samples
+    beyond the true length come back zero — trim host-side).  Without them
+    the bucket length is the analysis length (only correct for tracks that
+    exactly fill the bucket).
     """
+    if (target_lengths is None) != (reference_lengths is None):
+        raise ValueError("pass both target_lengths and reference_lengths, or neither")
     if mesh is not None:
         pspec = P("pairs", None, None)
         targets = jax.device_put(targets, NamedSharding(mesh, pspec))
         references = jax.device_put(references, NamedSharding(mesh, pspec))
+        if target_lengths is not None:
+            lspec = NamedSharding(mesh, P("pairs"))
+            target_lengths = jax.device_put(
+                np.asarray(target_lengths, np.int32), lspec
+            )
+            reference_lengths = jax.device_put(
+                np.asarray(reference_lengths, np.int32), lspec
+            )
+    elif target_lengths is not None:
+        target_lengths = jnp.asarray(target_lengths, jnp.int32)
+        reference_lengths = jnp.asarray(reference_lengths, jnp.int32)
     from ..ops import smoothing
 
     interp_ops = smoothing.interpolation_operator_arrays(
@@ -90,6 +123,8 @@ def master_batch(
     return _master_vmapped(
         targets,
         references,
+        target_lengths,
+        reference_lengths,
         interp_ops,
         config,
         need_default,

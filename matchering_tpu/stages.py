@@ -58,21 +58,62 @@ def piece_division(n: int, max_piece_size: int) -> Tuple[int, int]:
     return divisions, piece_size
 
 
-def _analyze_levels(mid: jax.Array, divisions: int, piece_size: int):
+class _Division(NamedTuple):
+    """Piece geometry for one track: host ints on the static path, traced
+    scalars plus static bounds on the dynamic (bucket-padded) path."""
+
+    divisions: object  # int | traced scalar
+    piece_size: object  # int | traced scalar
+    div_max: Optional[int]  # None => static geometry
+
+    @classmethod
+    def static(cls, n: int, max_piece_size: int) -> "_Division":
+        d, p = piece_division(n, max_piece_size)
+        return cls(d, p, None)
+
+    @classmethod
+    def dynamic(cls, n: int, length: jax.Array, max_piece_size: int) -> "_Division":
+        length = jnp.asarray(length, jnp.int32)
+        d = length // max_piece_size + 1
+        return cls(d, length // d, n // max_piece_size + 1)
+
+
+def _analyze_levels(mid: jax.Array, division: _Division):
     """Piecewise loudest-piece statistics from the flat mid channel
     (reference ``analyze_levels``, ``match_levels.py:134-161`` — the unfold
     there is replaced by aligned-chunk piece sums, see
     ``ops.basics.piece_rms_flat``)."""
-    rmses = basics.piece_rms_flat(mid, piece_size, divisions)
-    mask, match_rms = basics.loudest_piece_stats(rmses)
+    if division.div_max is None:
+        rmses = basics.piece_rms_flat(mid, division.piece_size, division.divisions)
+        mask, match_rms = basics.loudest_piece_stats(rmses)
+    else:
+        rmses, valid = basics.piece_rms_dynamic(
+            mid, division.piece_size, division.divisions, division.div_max
+        )
+        mask, match_rms = basics.loudest_piece_stats_masked(
+            rmses, valid, division.divisions
+        )
     return mask, match_rms
+
+
+def _masked_spectrum(
+    signal: jax.Array, mask: jax.Array, division: _Division, config: Config
+) -> jax.Array:
+    if division.div_max is None:
+        return spectrum.masked_average_spectrum_flat(
+            signal, mask, division.piece_size, division.divisions, config.fft_size
+        )
+    fpp_max = config.max_piece_size // config.fft_size + 1
+    return spectrum.masked_average_spectrum_dynamic(
+        signal, mask, division.piece_size, division.div_max, config.fft_size, fpp_max
+    )
 
 
 def _matching_fir(
     target_signal: jax.Array,
     reference_signal: jax.Array,
-    target_division: Tuple[int, int],
-    reference_division: Tuple[int, int],
+    target_division: _Division,
+    reference_division: _Division,
     target_mask: jax.Array,
     reference_mask: jax.Array,
     target_gain: jax.Array,
@@ -87,16 +128,12 @@ def _matching_fir(
     spectrum equals the reference's amplify-then-FFT
     (``stages.py:87-91`` + ``match_frequencies.py:86``).
     """
-    t_div, t_piece = target_division
-    r_div, r_piece = reference_division
     target_fft = (
-        spectrum.masked_average_spectrum_flat(
-            target_signal, target_mask, t_piece, t_div, config.fft_size
-        )
+        _masked_spectrum(target_signal, target_mask, target_division, config)
         * target_gain
     )
-    reference_fft = spectrum.masked_average_spectrum_flat(
-        reference_signal, reference_mask, r_piece, r_div, config.fft_size
+    reference_fft = _masked_spectrum(
+        reference_signal, reference_mask, reference_division, config
     )
     matching_fft = reference_fft / jnp.maximum(config.min_value, target_fft)
     smoothed = smoothing.smooth_exponentially(
@@ -120,12 +157,23 @@ def master_graph(
     need_no_limiter: bool = False,
     need_no_limiter_normalized: bool = False,
     interp_ops=None,
+    target_length=None,
+    reference_length=None,
 ) -> MasterOutput:
     """The full mastering computation (trace-time body of :func:`master`).
 
     target/reference: float (n, 2) stereo at ``config.internal_sample_rate``.
     ``interp_ops`` optionally carries the smoothing interpolation matrices
     as traced arrays (see :func:`master`, which threads them automatically).
+
+    ``target_length`` / ``reference_length`` (optional, traced scalars):
+    true track lengths of bucket-padded inputs.  When given, every
+    length-dependent quantity — piece division, loudest-piece statistics,
+    averaged spectra, the limiter's end-boundary handling — is computed at
+    the *true* length (the reference's exact-length analysis,
+    ``match_levels.py:47-59``), so a padded batch entry reproduces the
+    single-pair master of the unpadded track; output samples beyond
+    ``target_length`` are zero.
     """
     dtype = jnp.dtype(config.dtype)
     target = jnp.asarray(target, dtype=dtype)
@@ -138,14 +186,24 @@ def master_graph(
     )
     report["final_amplitude_coefficient"] = final_amplitude_coefficient
 
-    t_div, t_piece = piece_division(target.shape[0], config.max_piece_size)
-    r_div, r_piece = piece_division(reference.shape[0], config.max_piece_size)
+    if target_length is None:
+        t_division = _Division.static(target.shape[0], config.max_piece_size)
+    else:
+        t_division = _Division.dynamic(
+            target.shape[0], target_length, config.max_piece_size
+        )
+    if reference_length is None:
+        r_division = _Division.static(reference.shape[0], config.max_piece_size)
+    else:
+        r_division = _Division.dynamic(
+            reference.shape[0], reference_length, config.max_piece_size
+        )
 
     target_mid, target_side = basics.lr_to_ms(target)
     reference_mid, reference_side = basics.lr_to_ms(reference)
 
-    t_mask, t_match_rms = _analyze_levels(target_mid, t_div, t_piece)
-    r_mask, r_match_rms = _analyze_levels(reference_mid, r_div, r_piece)
+    t_mask, t_match_rms = _analyze_levels(target_mid, t_division)
+    r_mask, r_match_rms = _analyze_levels(reference_mid, r_division)
     report["target_match_rms"] = t_match_rms
     report["reference_match_rms"] = r_match_rms
 
@@ -158,8 +216,8 @@ def master_graph(
     mid_fir = _matching_fir(
         target_mid,
         reference_mid,
-        (t_div, t_piece),
-        (r_div, r_piece),
+        t_division,
+        r_division,
         t_mask,
         r_mask,
         rms_coefficient,
@@ -169,8 +227,8 @@ def master_graph(
     side_fir = _matching_fir(
         target_side,
         reference_side,
-        (t_div, t_piece),
-        (r_div, r_piece),
+        t_division,
+        r_division,
         t_mask,
         r_mask,
         rms_coefficient,
@@ -185,13 +243,30 @@ def master_graph(
         jnp.stack([target_mid, target_side]), jnp.stack([mid_fir, side_fir])
     )
     result_mid = convolved[0]
+    if target_length is not None:
+        # the FIR tail bleeds past the true end of a padded track; the
+        # reference's result simply stops there, so zero the overhang before
+        # any peak-sensitive stage (normalize, limiter) sees it
+        keep = jnp.arange(result_mid.shape[0]) < target_length
+        result_mid = result_mid * keep
+        convolved = convolved * keep[None, :]
     result = basics.ms_to_lr(result_mid, convolved[1])
 
     # --- Stage 3: RMS correction (stages.py:138-170), static unroll ---
     for step in range(config.rms_correction_steps):
         clipped = basics.clip(result_mid)
-        clipped_rmses = basics.piece_rms_flat(clipped, t_piece, t_div)
-        _, clipped_match_rms = basics.loudest_piece_stats(clipped_rmses)
+        if t_division.div_max is None:
+            clipped_rmses = basics.piece_rms_flat(
+                clipped, t_division.piece_size, t_division.divisions
+            )
+            _, clipped_match_rms = basics.loudest_piece_stats(clipped_rmses)
+        else:
+            clipped_rmses, clipped_valid = basics.piece_rms_dynamic(
+                clipped, t_division.piece_size, t_division.divisions, t_division.div_max
+            )
+            _, clipped_match_rms = basics.loudest_piece_stats_masked(
+                clipped_rmses, clipped_valid, t_division.divisions
+            )
         coefficient = r_match_rms / jnp.maximum(config.min_value, clipped_match_rms)
         report[f"rms_correction_{step + 1}"] = coefficient
         result_mid = result_mid * coefficient
@@ -207,7 +282,9 @@ def master_graph(
 
     result_default = None
     if need_default:
-        result_default = limit(result, config) * final_amplitude_coefficient
+        result_default = (
+            limit(result, config, length=target_length) * final_amplitude_coefficient
+        )
 
     result_no_limiter = result if need_no_limiter else None
 
