@@ -1,8 +1,17 @@
-"""Custom log handlers (reference ``examples/advanced_text_output.py``)."""
+"""Custom log handlers.
 
+Usage: python examples/advanced_text_output.py [target] [reference] [out_prefix]
+(behavioral counterpart of the reference's examples/advanced_text_output.py)
+"""
+
+import sys
 from datetime import datetime
 
 import matchering_tpu as mg
+
+target, reference, prefix = (
+    sys.argv[1:4] if len(sys.argv) >= 4 else ("my_song.wav", "some_popular_song.wav", "my_song_master")
+)
 
 
 # A basic text output function that also prints the current datetime
@@ -35,7 +44,7 @@ mg.log(
 )
 
 mg.process(
-    target="my_song.wav",
-    reference="some_popular_song.wav",
-    results=[mg.pcm16("my_song_master_16bit.wav")],
+    target=target,
+    reference=reference,
+    results=[mg.pcm16(f"{prefix}_16bit.wav")],
 )

@@ -1,14 +1,17 @@
-"""Top-level orchestrator (reference ``matchering/core.py:32-121``).
+"""Single-pair mastering driver.
 
-``process()`` is the host-side shell: load -> check -> validate -> run the
-jitted mastering graph (``stages.master``) -> save the requested variants ->
-optionally render previews.  All DSP happens in one XLA program on the
-accelerator; this module only moves bytes and raises coded errors.
+``process()`` is the host-side shell around the jitted mastering graph: it
+decodes and conditions both tracks, runs ``stages.main`` (one XLA program on
+the accelerator), and encodes whichever output variants the caller asked
+for, optionally with previews.  Behavioral contract — the coded event
+stream, validation rules and variant semantics — matches reference
+``matchering/core.py:32-121``; the decomposition below is this framework's
+own.
 """
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -22,6 +25,54 @@ from .stages import main as stages_main
 from .utils import get_temp_folder
 
 
+def _ingest(path: str, role: str, config: Config, temp_folder: str):
+    """Decode one file and run the conditioning pipeline on it."""
+    audio, rate = load(path, role, temp_folder)
+    return check(audio, rate, config, role)
+
+
+def _assert_graph_ready(tracks, config: Config) -> None:
+    """Post-conditioning invariants the graph relies on.  The checker
+    should have established all of these; a violation here is a bug, hence
+    the generic validation code (reference ``core.py:69-74``)."""
+    for audio, rate in tracks:
+        ready = (
+            rate == config.internal_sample_rate
+            and audio.ndim == 2
+            and audio.shape[1] == 2
+            and audio.shape[0] > config.fft_size
+        )
+        if not ready:
+            raise ModuleError(Code.ERROR_VALIDATION)
+
+
+def _variant_key(result: Result) -> str:
+    """Which rendered variant a Result descriptor wants."""
+    if result.use_limiter:
+        return "limited"
+    return "normalized" if result.normalize else "raw"
+
+
+def render_variants(
+    target_audio: np.ndarray, reference_audio: np.ndarray, config: Config, keys
+) -> dict:
+    """Run the mastering graph, rendering exactly the variants in ``keys``.
+
+    Returns a dict mapping variant key -> array (missing keys absent).
+    """
+    keys = set(keys)
+    limited, raw, normalized = stages_main(
+        target_audio,
+        reference_audio,
+        config,
+        need_default="limited" in keys,
+        need_no_limiter="raw" in keys,
+        need_no_limiter_normalized="normalized" in keys,
+    )
+    rendered = {"limited": limited, "raw": raw, "normalized": normalized}
+    return {k: v for k, v in rendered.items() if v is not None}
+
+
 def process(
     target: str,
     reference: str,
@@ -30,81 +81,50 @@ def process(
     preview_target: Optional[Result] = None,
     preview_result: Optional[Result] = None,
 ) -> None:
-    debug("TPU-native matchering: https://github.com/sergree/matchering capabilities")
+    debug("matchering_tpu — TPU-native audio matching & mastering")
     debug_line()
     info(Code.INFO_LOADING)
 
-    if not results:
-        raise RuntimeError("The result list is empty")
     if isinstance(results, Result):
         results = [results]
+    if not results:
+        raise RuntimeError("The result list is empty")
 
-    temp_folder = config.temp_folder if config.temp_folder else get_temp_folder(results)
+    temp_folder = config.temp_folder or get_temp_folder(results)
 
-    target_audio, target_sample_rate = load(target, "target", temp_folder)
-    target_audio, target_sample_rate = check(
-        target_audio, target_sample_rate, config, "target"
-    )
-
-    reference_audio, reference_sample_rate = load(reference, "reference", temp_folder)
-    reference_audio, reference_sample_rate = check(
-        reference_audio, reference_sample_rate, config, "reference"
-    )
+    target_track = _ingest(target, "target", config, temp_folder)
+    reference_track = _ingest(reference, "reference", config, temp_folder)
 
     if not config.allow_equality:
-        check_equality(target_audio, reference_audio)
+        check_equality(target_track[0], reference_track[0])
+    _assert_graph_ready((target_track, reference_track), config)
 
-    if (
-        not (
-            target_sample_rate
-            == reference_sample_rate
-            == config.internal_sample_rate
-        )
-        or not (target_audio.shape[1] == reference_audio.shape[1] == 2)
-        or not (
-            target_audio.shape[0] > config.fft_size
-            and reference_audio.shape[0] > config.fft_size
-        )
-    ):
-        raise ModuleError(Code.ERROR_VALIDATION)
-
-    result, result_no_limiter, result_no_limiter_normalized = stages_main(
-        target_audio,
-        reference_audio,
-        config,
-        need_default=any(r.use_limiter for r in results),
-        need_no_limiter=any(not r.use_limiter and not r.normalize for r in results),
-        need_no_limiter_normalized=any(
-            not r.use_limiter and r.normalize for r in results
-        ),
-    )
+    wanted = {_variant_key(r) for r in results}
+    variants = render_variants(target_track[0], reference_track[0], config, wanted)
 
     debug_line()
     info(Code.INFO_EXPORTING)
-
-    for required in results:
-        if required.use_limiter:
-            correct_result = result
-        elif required.normalize:
-            correct_result = result_no_limiter_normalized
-        else:
-            correct_result = result_no_limiter
+    for result in results:
         save(
-            required.file,
-            np.asarray(correct_result),
+            result.file,
+            np.asarray(variants[_variant_key(result)]),
             config.internal_sample_rate,
-            required.subtype,
+            result.subtype,
         )
 
     if preview_target or preview_result:
-        preview_source = next(
-            item
-            for item in [result, result_no_limiter, result_no_limiter_normalized]
-            if item is not None
-        )
-        create_preview(
-            target_audio, preview_source, config, preview_target, preview_result
-        )
+        # any rendered variant serves as the preview source, preferring the
+        # limited one (reference ``core.py:112-118``)
+        for key in ("limited", "raw", "normalized"):
+            if key in variants:
+                create_preview(
+                    target_track[0],
+                    variants[key],
+                    config,
+                    preview_target,
+                    preview_result,
+                )
+                break
 
     debug_line()
     info(Code.INFO_COMPLETED)

@@ -1,16 +1,20 @@
-"""Audio ingestion with graceful codec fallback.
+"""Audio ingestion: native decoders first, transcoding as a safety net.
 
-Parity with reference ``matchering/loader.py:30-74``: try the built-in
-codecs first; on an unknown container, shell out to ``ffmpeg`` to transcode
-into a temp WAV (emitting the lossy-source warning), and raise the coded
-loading error if everything fails.
+Behavioral contract (matches reference ``matchering/loader.py:30-74``): any
+container the built-in codecs understand decodes directly; anything else is
+handed to an ``ffmpeg`` subprocess that rewrites it into a temporary WAV
+(with the lossy-source advisory for the appropriate role), and a coded
+``ModuleError`` fires only after every strategy is exhausted.
+
+Structure is a decode chain: each strategy either returns ``(audio, rate)``
+or ``None`` to let the next one try.
 """
 
 from __future__ import annotations
 
 import os
 import subprocess
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -18,49 +22,74 @@ from ..log import Code, ModuleError, debug, info, warning
 from ..utils import random_file
 from . import codecs
 
+_LOAD_ERRORS = {"TARGET": Code.ERROR_TARGET_LOADING, "REFERENCE": Code.ERROR_REFERENCE_LOADING}
+_LOSSY_EVENTS = {
+    "TARGET": lambda: warning(Code.WARNING_TARGET_IS_LOSSY),
+    "REFERENCE": lambda: info(Code.INFO_REFERENCE_IS_LOSSY),
+}
 
-def load(file: str, file_type: str, temp_folder: str) -> Tuple[np.ndarray, int]:
-    file_type = file_type.upper()
-    sound, sample_rate = None, None
-    debug(f"Loading the {file_type} file: '{file}'...")
+
+def _is_unknown_container(error: Exception) -> bool:
+    """True when the native codec layer rejected the *container*, i.e.
+    transcoding could still succeed (as opposed to e.g. a truncated file)."""
+    text = str(error)
+    return "unknown format" in text or "Format not recognised" in text
+
+
+def _decode_native(file: str, role: str, temp_folder: str):
     try:
-        sound, sample_rate = codecs.read(file)
-    except (RuntimeError, OSError) as e:
-        debug(e)
-        text = str(e)
-        if "unknown format" in text or "Format not recognised" in text:
-            sound, sample_rate = _load_with_ffmpeg(file, file_type, temp_folder)
-    if sound is None or sample_rate is None:
-        raise ModuleError(
-            Code.ERROR_TARGET_LOADING
-            if file_type == "TARGET"
-            else Code.ERROR_REFERENCE_LOADING
-        )
-    debug(f"The {file_type} file is loaded")
-    return sound, sample_rate
+        return codecs.read(file)
+    except (RuntimeError, OSError) as error:
+        debug(error)
+        return None if _is_unknown_container(error) else _raise_load_error(role)
 
 
-def _load_with_ffmpeg(file: str, file_type: str, temp_folder: str):
-    sound, sample_rate = None, None
-    debug(f"Trying to load '{file}' with ffmpeg...")
-    temp_file = os.path.join(temp_folder, random_file(prefix="temp"))
+def _decode_via_ffmpeg(file: str, role: str, temp_folder: str):
+    """Transcode with ffmpeg into a temp WAV, decode that, clean up."""
+    debug(f"Unknown container — transcoding '{file}' through ffmpeg")
+    staging = os.path.join(temp_folder, random_file(prefix="temp"))
     try:
         subprocess.check_call(
-            ["ffmpeg", "-i", file, temp_file],
+            ["ffmpeg", "-i", file, staging],
             stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL,
         )
-        sound, sample_rate = codecs.read(temp_file)
-        if file_type == "TARGET":
-            warning(Code.WARNING_TARGET_IS_LOSSY)
-        else:
-            info(Code.INFO_REFERENCE_IS_LOSSY)
-        os.remove(temp_file)
     except FileNotFoundError:
-        debug(
-            "ffmpeg is not found in the system! "
-            "Download, install and add it to PATH: https://www.ffmpeg.org/download.html"
-        )
+        debug("no ffmpeg binary on PATH — cannot transcode unknown containers")
+        return None
     except subprocess.CalledProcessError:
-        debug(f"ffmpeg cannot convert '{file}' to .wav!")
-    return sound, sample_rate
+        debug(f"ffmpeg could not produce a WAV from '{file}'")
+        return None
+    try:
+        decoded = codecs.read(staging)
+    finally:
+        if os.path.exists(staging):
+            os.remove(staging)
+    _LOSSY_EVENTS[role]()
+    return decoded
+
+
+def _raise_load_error(role: str):
+    raise ModuleError(_LOAD_ERRORS[role])
+
+
+_DECODE_CHAIN = (_decode_native, _decode_via_ffmpeg)
+
+
+def load(file: str, file_type: str, temp_folder: str) -> Tuple[np.ndarray, int]:
+    """Decode ``file`` into a float (n, ch) array + sample rate.
+
+    ``file_type`` names the track's role ("target"/"reference") and selects
+    which coded events fire on failure or lossy input.
+    """
+    role = file_type.upper()
+    debug(f"Decoding the {role} track from '{file}'")
+    decoded: Optional[Tuple[np.ndarray, int]] = None
+    for strategy in _DECODE_CHAIN:
+        decoded = strategy(file, role, temp_folder)
+        if decoded is not None:
+            break
+    if decoded is None:
+        _raise_load_error(role)
+    debug(f"{role} decoded: {decoded[0].shape[0]} samples at {decoded[1]} Hz")
+    return decoded
