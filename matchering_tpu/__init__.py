@@ -24,6 +24,7 @@ from . import ops
 from .checker import check, check_equality
 from .config import Config, LimiterConfig
 from .core import process
+from .farm import PairJob, process_batch
 from .io import load, save
 from .limiter import limit
 from .log import Code, ModuleError
@@ -38,6 +39,7 @@ __all__ = [
     "LimiterConfig",
     "MasterOutput",
     "ModuleError",
+    "PairJob",
     "Result",
     "check",
     "check_equality",
@@ -52,5 +54,6 @@ __all__ = [
     "pcm24",
     "pcm32f",
     "process",
+    "process_batch",
     "save",
 ]

@@ -80,30 +80,48 @@ def main(argv=None) -> int:
     preview_result = mg.pcm16(args.preview_result) if args.preview_result else None
 
     if args.time_sharded:
+        # same host shell as mg.process (temp folder, equality check,
+        # validation, previews) with the mastering graph swapped for the
+        # time-sharded executor
         import numpy as np
 
+        from .core import _assert_graph_ready
         from .io import load
         from .parallel import timeshard
+        from .utils import get_temp_folder
 
         config = mg.Config()
-        target, t_sr = load(args.target, "target", "/tmp")
-        reference, r_sr = load(args.reference, "reference", "/tmp")
-        target, _ = mg.check(target, t_sr, config, "target")
-        reference, _ = mg.check(reference, r_sr, config, "reference")
+        temp_folder = config.temp_folder or get_temp_folder([result])
+        target_track = mg.check(
+            *load(args.target, "target", temp_folder), config, "target"
+        )
+        reference_track = mg.check(
+            *load(args.reference, "reference", temp_folder), config, "reference"
+        )
+        if not config.allow_equality:
+            mg.check_equality(target_track[0], reference_track[0])
+        _assert_graph_ready((target_track, reference_track), config)
+
         out = timeshard.master_sharded(
-            target.astype(np.float32),
-            reference.astype(np.float32),
+            target_track[0],
+            reference_track[0],
             config,
             need_default=not args.no_limiter,
             need_no_limiter=args.no_limiter and args.dont_normalize,
             need_no_limiter_normalized=args.no_limiter and not args.dont_normalize,
         )
-        rendered = next(
-            x
-            for x in (out.result, out.result_no_limiter_normalized, out.result_no_limiter)
-            if x is not None
-        )
-        mg.save(args.result, np.asarray(rendered), config.internal_sample_rate, subtype)
+        if not args.no_limiter:
+            rendered = out.result
+        elif args.dont_normalize:
+            rendered = out.result_no_limiter
+        else:
+            rendered = out.result_no_limiter_normalized
+        rendered = np.asarray(rendered)
+        mg.save(args.result, rendered, config.internal_sample_rate, subtype)
+        if preview_target or preview_result:
+            mg.create_preview(
+                target_track[0], rendered, config, preview_target, preview_result
+            )
     else:
         mg.process(
             target=args.target,

@@ -1,0 +1,143 @@
+"""Batch mastering driver — many (target, reference) pairs in one dispatch.
+
+The data-parallel counterpart of :func:`matchering_tpu.core.process`
+(reference semantics per pair: ``matchering/core.py:32-121``; the batching
+itself has no reference equivalent — SURVEY.md §5.8/§7.6).  Each job is
+decoded and conditioned exactly like the single-pair path, the batch is
+bucket-padded and dispatched as one vmapped XLA program over the ``pairs``
+mesh axis, every track is analyzed and limited at its *true* length
+(``master_graph``'s dynamic-length path), and outputs are trimmed back to
+their true lengths before encoding — so each job's files are identical to
+what ``process()`` would have produced, at farm throughput.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .checker import check, check_equality
+from .config import Config
+from .core import _assert_graph_ready, _variant_key
+from .io import load, save
+from .log import Code, ModuleError, debug, debug_line, info
+from .preview import create_preview
+from .results import Result
+from .utils import get_temp_folder
+
+
+@dataclass(frozen=True)
+class PairJob:
+    """One mastering job: a target/reference file pair plus the outputs it
+    wants (same descriptors as the single-pair API)."""
+
+    target: str
+    reference: str
+    results: List[Result] = field(default_factory=list)
+    preview_target: Optional[Result] = None
+    preview_result: Optional[Result] = None
+
+
+def process_batch(
+    jobs: Sequence[PairJob],
+    config: Config = Config(),
+    mesh=None,
+    bucket_multiple: int = 1 << 18,
+) -> None:
+    """Master every job in one device dispatch.
+
+    All jobs share one padded bucket per role (pad to the longest track,
+    rounded up to ``bucket_multiple``) and therefore one compiled
+    executable; callers batching at production scale should group jobs of
+    similar duration so padding stays bounded.  ``mesh`` (optional, with a
+    ``pairs`` axis — ``parallel.make_mesh``) shards the batch across
+    devices.
+    """
+    from .parallel.batch import bucket_pad, master_batch
+
+    jobs = list(jobs)
+    if not jobs:
+        raise RuntimeError("The job list is empty")
+    for job in jobs:
+        if not job.results and not (job.preview_target or job.preview_result):
+            raise RuntimeError(f"Job '{job.target}' requests no outputs")
+
+    debug(f"matchering_tpu farm: {len(jobs)} pairs in one dispatch")
+    debug_line()
+    info(Code.INFO_LOADING)
+
+    targets, references = [], []
+    for job in jobs:
+        anchor = job.results or [
+            r for r in (job.preview_target, job.preview_result) if r is not None
+        ]
+        temp_folder = config.temp_folder or get_temp_folder(anchor)
+        target_track = check(*load(job.target, "target", temp_folder), config, "target")
+        reference_track = check(
+            *load(job.reference, "reference", temp_folder), config, "reference"
+        )
+        if not config.allow_equality:
+            check_equality(target_track[0], reference_track[0])
+        _assert_graph_ready((target_track, reference_track), config)
+        targets.append(target_track[0])
+        references.append(reference_track[0])
+
+    # union of variants over all jobs: the graph renders a variant once for
+    # the whole batch, jobs pick what they asked for
+    wanted = {_variant_key(r) for job in jobs for r in job.results}
+    wanted |= {"limited"} if not wanted else set()
+
+    t_batch, t_lens = bucket_pad(targets, multiple=bucket_multiple)
+    r_batch, r_lens = bucket_pad(references, multiple=bucket_multiple)
+    debug(
+        f"buckets: targets {t_batch.shape}, references {r_batch.shape} "
+        f"(true lengths {t_lens} / {r_lens})"
+    )
+
+    out = master_batch(
+        t_batch,
+        r_batch,
+        config,
+        mesh=mesh,
+        need_default="limited" in wanted,
+        need_no_limiter="raw" in wanted,
+        need_no_limiter_normalized="normalized" in wanted,
+        target_lengths=t_lens,
+        reference_lengths=r_lens,
+    )
+    variants = {
+        "limited": out.result,
+        "raw": out.result_no_limiter,
+        "normalized": out.result_no_limiter_normalized,
+    }
+
+    debug_line()
+    info(Code.INFO_EXPORTING)
+    for i, job in enumerate(jobs):
+        length = t_lens[i]
+        for result in job.results:
+            rendered = variants[_variant_key(result)]
+            if rendered is None:  # unreachable: wanted covered every key
+                raise ModuleError(Code.ERROR_VALIDATION)
+            save(
+                result.file,
+                np.asarray(rendered[i, :length]),
+                config.internal_sample_rate,
+                result.subtype,
+            )
+        if job.preview_target or job.preview_result:
+            for key in ("limited", "raw", "normalized"):
+                if variants[key] is not None:
+                    create_preview(
+                        targets[i],
+                        np.asarray(variants[key][i, :length]),
+                        config,
+                        job.preview_target,
+                        job.preview_result,
+                    )
+                    break
+
+    debug_line()
+    info(Code.INFO_COMPLETED)

@@ -51,3 +51,45 @@ class TestCliRuns:
         assert sr == 44100
         # normalized no-limiter variant peaks at the threshold
         assert abs(np.abs(y).max() - mg.Config().threshold) < 1e-3
+
+    def test_time_sharded_with_previews(self, files):
+        """--time_sharded must honor previews and produce the same master as
+        the default path (VERDICT r1 weak item 5 / ADVICE low 1)."""
+        d, tp, rp = files
+        out = str(d / "sharded.wav")
+        pt = str(d / "sharded_preview_t.wav")
+        pr = str(d / "sharded_preview_r.wav")
+        assert (
+            main(
+                [
+                    tp,
+                    rp,
+                    out,
+                    "--time_sharded",
+                    "--quiet",
+                    "--preview_target",
+                    pt,
+                    "--preview_result",
+                    pr,
+                ]
+            )
+            == 0
+        )
+        y, sr = codecs.read(out)
+        assert sr == 44100 and y.shape[0] == 10 * 44100
+        for p in (pt, pr):
+            yp, _ = codecs.read(p)
+            assert yp.shape[0] > 0
+
+        # same pair through the default path: outputs must agree closely
+        base = str(d / "baseline.wav")
+        assert main([tp, rp, base, "--quiet"]) == 0
+        yb, _ = codecs.read(base)
+        err = np.sqrt(np.mean((y - yb) ** 2))
+        assert err < 2e-4, err  # PCM_16 quantization floor is ~9e-6 rms
+
+    def test_time_sharded_equality_rejected(self, files):
+        d, tp, _ = files
+        out = str(d / "eq.wav")
+        with pytest.raises(mg.ModuleError):
+            main([tp, tp, out, "--time_sharded", "--quiet"])
