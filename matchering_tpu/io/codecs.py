@@ -29,15 +29,43 @@ _WRITE_FORMATS = {
     "FLAC": ("PCM_16", "PCM_24"),
 }
 
+# Formats written by transcoding a staging WAV through ffmpeg (the write-side
+# counterpart of the loader's read fallback; the reference reached these via
+# libsndfile, ``matchering/saver.py:32``).  Subtype -> encoder arguments.
+_FFMPEG_WRITE_FORMATS = {
+    "OGG": {"VORBIS": ["-c:a", "libvorbis", "-qscale:a", "8"]},
+    "MP3": {"MPEG_LAYER_III": ["-c:a", "libmp3lame", "-b:a", "320k"]},
+    "OPUS": {"OPUS": ["-c:a", "libopus", "-b:a", "256k"]},
+    "CAF": {
+        "PCM_16": ["-c:a", "pcm_s16be"],
+        "PCM_24": ["-c:a", "pcm_s24be"],
+        "FLOAT": ["-c:a", "pcm_f32be"],
+    },
+    "W64": {
+        "PCM_16": ["-c:a", "pcm_s16le"],
+        "PCM_24": ["-c:a", "pcm_s24le"],
+        "FLOAT": ["-c:a", "pcm_f32le"],
+        "DOUBLE": ["-c:a", "pcm_f64le"],
+    },
+}
+
+
+def ffmpeg_available() -> bool:
+    import shutil
+
+    return shutil.which("ffmpeg") is not None
+
 
 def check_format(fmt: str, subtype: Optional[str] = None) -> bool:
     """True if ``fmt`` (and optionally ``subtype``) can be written."""
     fmt = fmt.upper()
-    if fmt not in _WRITE_FORMATS:
-        return False
-    if fmt == "FLAC" and not native.available():
-        return False
-    return subtype is None or subtype.upper() in _WRITE_FORMATS[fmt]
+    if fmt in _WRITE_FORMATS:
+        if fmt == "FLAC" and not native.available():
+            return False
+        return subtype is None or subtype.upper() in _WRITE_FORMATS[fmt]
+    if fmt in _FFMPEG_WRITE_FORMATS and ffmpeg_available():
+        return subtype is None or subtype.upper() in _FFMPEG_WRITE_FORMATS[fmt]
+    return False
 
 
 def read(path: str) -> Tuple[np.ndarray, int]:
@@ -73,5 +101,36 @@ def write(path: str, array: np.ndarray, sample_rate: int, subtype: str) -> None:
         if not native.available():
             raise RuntimeError("FLAC output needs the native codec (io/native)")
         native.write_flac(path, np.ascontiguousarray(array, dtype=np.float64), sample_rate, subtype)
+    elif ext in _FFMPEG_WRITE_FORMATS:
+        _write_via_ffmpeg(path, array, sample_rate, ext, subtype)
     else:
         raise RuntimeError(f"unsupported output format: {ext}")
+
+
+def _write_via_ffmpeg(
+    path: str, array: np.ndarray, sample_rate: int, ext: str, subtype: str
+) -> None:
+    """Encode by staging a lossless WAV and transcoding it with ffmpeg —
+    the write-side counterpart of the loader's read fallback."""
+    import subprocess
+    import tempfile
+
+    encoder_args = _FFMPEG_WRITE_FORMATS[ext].get(subtype.upper())
+    if encoder_args is None:
+        raise RuntimeError(f"unsupported subtype for {ext}: {subtype}")
+    if not ffmpeg_available():
+        raise RuntimeError(f"{ext} output needs ffmpeg on PATH")
+    fd, staging = tempfile.mkstemp(suffix=".wav")
+    os.close(fd)
+    try:
+        wav.write(staging, array, sample_rate, "DOUBLE")
+        subprocess.check_call(
+            ["ffmpeg", "-y", "-i", staging, *encoder_args, path],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+    except subprocess.CalledProcessError as error:
+        raise RuntimeError(f"ffmpeg could not encode '{path}'") from error
+    finally:
+        if os.path.exists(staging):
+            os.remove(staging)

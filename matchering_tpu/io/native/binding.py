@@ -32,6 +32,17 @@ def _load() -> Optional[ctypes.CDLL]:
     _load_attempted = True
     path = _lib_path()
     if not os.path.exists(path):
+        # first-use auto-build so FLAC (native-only) works from a clean
+        # clone; opt out with MATCHERING_TPU_NO_AUTOBUILD=1
+        if os.environ.get("MATCHERING_TPU_NO_AUTOBUILD") == "1":
+            return None
+        try:
+            from .build import build
+
+            build(verbose=False)
+        except Exception:
+            return None
+    if not os.path.exists(path):
         return None
     try:
         lib = ctypes.CDLL(path)

@@ -14,6 +14,7 @@ def build(verbose: bool = True) -> str:
     here = os.path.dirname(os.path.abspath(__file__))
     src = [os.path.join(here, "codec.cpp"), os.path.join(here, "flac.cpp")]
     out = os.path.join(here, "libmtpu_codec.so")
+    staging = f"{out}.tmp.{os.getpid()}"  # atomic publish; parallel builds race safely
     cmd = [
         "g++",
         "-O3",
@@ -23,11 +24,16 @@ def build(verbose: bool = True) -> str:
         "-std=c++17",
         *src,
         "-o",
-        out,
+        staging,
     ]
     if verbose:
-        print(" ".join(cmd))
-    subprocess.check_call(cmd)
+        print(" ".join(cmd).replace(staging, out))
+    try:
+        subprocess.check_call(cmd)
+        os.replace(staging, out)
+    finally:
+        if os.path.exists(staging):
+            os.remove(staging)
     return out
 
 

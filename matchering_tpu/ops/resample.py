@@ -110,6 +110,72 @@ def plan_resample(sr_in: int, sr_out: int) -> ResamplePlan:
     )
 
 
+# The polyphase weight matrix has up = sr_out/gcd rows per group; for
+# near-coprime rate pairs (44100 -> 44101: up = 44101) it would be
+# gigabytes.  Above this cap the rate pair routes to the windowed
+# per-output evaluation below (host-side, bounded memory).
+_PLAN_BYTES_CAP = 1 << 25  # 32 MB
+
+
+def _plan_bytes(sr_in: int, sr_out: int) -> int:
+    """Size of the polyphase weight matrix, computed without building it."""
+    g = math.gcd(sr_in, sr_out)
+    up, down = sr_out // g, sr_in // g
+    num_bits = 2**_PRECISION
+    nwin = _half_window()[0].shape[0]
+    index_step = int(min(1.0, sr_out / sr_in) * num_bits)
+    reach = int(np.ceil(nwin / max(index_step, 1)))
+    c = max(1, -(-256 // down))
+    return (c * up) * (c * down + 2 * reach + 1) * 8
+
+
+def _resample_windowed(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Per-output windowed evaluation of the same kaiser_best arithmetic
+    (resampy's own scheme: float time register, quantized table index with
+    linear interpolation, wings truncated at the signal edges), vectorized
+    over output chunks on the host.  O(window) memory for any rate ratio —
+    the fallback for rate pairs whose polyphase plan would not fit."""
+    interp_win, interp_delta = _half_window()
+    num_bits = 2**_PRECISION
+    scale = min(1.0, sr_out / sr_in)
+    win, delta = (
+        (interp_win * scale, interp_delta * scale)
+        if scale < 1.0
+        else (interp_win, interp_delta)
+    )
+    index_step = int(scale * num_bits)
+    nwin = win.shape[0]
+    n = x.shape[0]
+    n_out = int(np.ceil(n * sr_out / sr_in))
+    time_increment = sr_in / sr_out
+    max_taps = nwin // max(index_step, 1) + 1
+    y = np.zeros((n_out,) + x.shape[1:], dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    expand = (slice(None),) + (None,) * (x.ndim - 1)
+
+    for j0 in range(0, n_out, 1 << 16):
+        m = np.arange(j0, min(j0 + (1 << 16), n_out))
+        time_register = m * time_increment
+        n0 = time_register.astype(np.int64)
+        frac = scale * (time_register - n0)
+        acc = np.zeros((m.size,) + x.shape[1:], dtype=np.float64)
+        for sign, base_frac, start in ((-1, frac, n0), (+1, scale - frac, n0 + 1)):
+            index_frac = base_frac * num_bits
+            offset = index_frac.astype(np.int64)
+            eta = index_frac - offset
+            count = (nwin - offset) // index_step  # resampy's wing tap count
+            for i in range(max_taps):
+                src = start + sign * i
+                valid = (i < count) & (src >= 0) & (src < n)
+                if not valid.any():
+                    break
+                idx = np.minimum(offset + i * index_step, nwin - 1)
+                w = np.where(valid, win[idx] + eta * delta[idx], 0.0)
+                acc += w[expand] * x[np.clip(src, 0, n - 1)]
+        y[j0 : j0 + m.size] = acc
+    return y
+
+
 def resample(x: jax.Array, sr_in: int, sr_out: int) -> jax.Array:
     """Resample along axis 0. x: (n,) or (n, channels).
 
@@ -119,6 +185,9 @@ def resample(x: jax.Array, sr_in: int, sr_out: int) -> jax.Array:
     """
     if sr_in == sr_out:
         return x
+    if _plan_bytes(sr_in, sr_out) > _PLAN_BYTES_CAP:
+        out = _resample_windowed(np.asarray(x), sr_in, sr_out)
+        return jnp.asarray(out.astype(np.asarray(x).dtype))
     plan = plan_resample(sr_in, sr_out)
     squeeze = x.ndim == 1
     if squeeze:

@@ -2,6 +2,7 @@
 config validation, results — the reference's L4/L5 surface (SURVEY.md §1).
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -157,6 +158,28 @@ class TestResample:
     def test_identity(self, rng):
         x = rng.randn(100, 2)
         assert rs.resample(x, 44100, 44100) is x
+
+    def test_near_coprime_ratio_bounded_memory(self, rng, snr):
+        """VERDICT r1 item 9: 44100 -> 44101 must not materialize the
+        (44101 x ~44000) polyphase plan; the windowed fallback stays exact
+        vs the direct oracle."""
+        assert rs._plan_bytes(44100, 44101) > rs._PLAN_BYTES_CAP
+        x = rng.randn(4000, 2) * 0.5
+        expected = resampy_oracle(x, 44100, 44101)
+        got = np.asarray(rs.resample(jnp.asarray(x), 44100, 44101))
+        assert got.shape == expected.shape
+        value = snr(expected, got)
+        assert value > 120.0, f"windowed resample SNR {value:.1f} dB"
+
+    def test_windowed_path_matches_plan_path(self, rng, snr):
+        """Both execution paths implement the same arithmetic: force the
+        windowed path onto a normal ratio and compare with the MXU plan."""
+        x = rng.randn(3000, 2) * 0.5
+        plan_out = np.asarray(rs.resample(jnp.asarray(x), 22050, 44100))
+        win_out = rs._resample_windowed(x, 22050, 44100)
+        assert plan_out.shape == win_out.shape
+        value = snr(win_out, plan_out)
+        assert value > 110.0, value
 
     def test_sine_preservation(self, snr):
         sr_in, sr_out = 48000, 44100
