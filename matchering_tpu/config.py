@@ -192,9 +192,10 @@ class Config:
         )
         _require(isinstance(self.limiter, LimiterConfig), "limiter: LimiterConfig")
         _require(
-            self.dtype in ("float32", "bfloat16", "float64"),
-            "dtype: float32|bfloat16|float64 (float64 is CPU-only, for oracle "
-            "parity testing)",
+            self.dtype in ("float32", "float64"),
+            "dtype: float32|float64 (float64 is CPU-only, for oracle parity "
+            "testing; bfloat16 is not offered — XLA's RFFT requires float32+ "
+            "and the 8-bit mantissa is far below audio quality)",
         )
 
     # Derived quantities -------------------------------------------------
