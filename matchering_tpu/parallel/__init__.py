@@ -12,18 +12,28 @@ The reference is a single numpy process with no parallelism of any kind
                   overlap-save convolution / sliding maxima, carried
                   associative scans for the limiter IIR stages, and
                   ``psum``/``all_gather`` for global piece-RMS statistics,
-                  averaged spectra and peaks.
+                  averaged spectra and peaks;
+* ``launch``    — multi-host scaffolding: ``jax.distributed`` bring-up,
+                  process-major global meshes (pairs→DCN, time→ICI),
+                  host-sharded batch assembly, and an N-process CPU
+                  self-test (``python -m matchering_tpu.parallel.launch
+                  selftest``).
 """
 
-from . import batch, mesh, timeshard
+from . import batch, launch, mesh, timeshard
 from .batch import master_batch
+from .launch import global_mesh, initialize, master_batch_distributed
 from .mesh import make_mesh
 from .timeshard import master_sharded
 
 __all__ = [
     "batch",
+    "global_mesh",
+    "initialize",
+    "launch",
     "make_mesh",
     "master_batch",
+    "master_batch_distributed",
     "master_sharded",
     "mesh",
     "timeshard",

@@ -1,0 +1,328 @@
+"""Multi-host execution scaffolding (SURVEY.md §5.8 — all-new design; the
+reference is a single numpy process).
+
+Layout doctrine: the ``pairs`` axis is embarrassingly parallel, so it maps
+to the *outer* interconnect (across hosts / DCN); the ``time`` axis carries
+halo exchange and carried scans, so it maps to the *inner* interconnect
+(a host's own chips / ICI).  :func:`global_mesh` builds exactly that
+process-major device grid once :func:`initialize` has brought the cluster
+up.
+
+Usage, one process per host::
+
+    from matchering_tpu.parallel import launch
+    launch.initialize(coordinator_address="host0:8476",
+                      num_processes=N, process_id=i)   # or env-driven
+    mesh = launch.global_mesh(time=jax.local_device_count())
+    out = launch.master_batch_distributed(local_targets, local_references,
+                                          t_lens, r_lens, config, mesh)
+    # each process encodes the pairs it owns:
+    for shard_index, result in launch.local_results(out.result, mesh):
+        ...
+
+On TPU pods, ``initialize()`` with no arguments picks the cluster topology
+up from the environment (the standard ``jax.distributed`` auto-detection).
+A 2-process CPU self-test of this exact flow runs via::
+
+    python -m matchering_tpu.parallel.launch selftest --processes 2
+
+(spawns the workers, checks N-process output == single-process output).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_COORD_ENV = "MATCHERING_TPU_COORDINATOR"
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    **kwargs,
+) -> None:
+    """Bring up the multi-process runtime (idempotent).
+
+    Arguments fall back to the environment: ``MATCHERING_TPU_COORDINATOR``
+    plus the standard ``jax.distributed`` variables; with everything absent
+    and a cloud TPU environment, JAX auto-detects the topology.  On a
+    single process this is a no-op.
+    """
+    import jax
+
+    if jax.distributed.is_initialized():
+        return
+    coordinator_address = coordinator_address or os.environ.get(_COORD_ENV)
+    if coordinator_address is None and num_processes is None:
+        # nothing to do for explicit single-process use; cloud TPU
+        # environments auto-detect via initialize() with no arguments only
+        # when the env advertises a cluster
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        **kwargs,
+    )
+
+
+def global_mesh(pairs: Optional[int] = None, time: int = 1):
+    """A ``(pairs, time)`` mesh over every device in the cluster,
+    process-major: each process's local devices fill whole consecutive
+    ``pairs`` rows, so the pairs axis crosses hosts (DCN) only between
+    processes and the time axis stays on one host's chips (ICI)."""
+    import jax
+    from jax.sharding import Mesh
+
+    devices = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    n = len(devices)
+    if n % time:
+        raise ValueError(f"time={time} does not divide {n} devices")
+    if pairs is None:
+        pairs = n // time
+    if pairs * time != n:
+        raise ValueError(f"mesh {pairs}x{time} != {n} devices")
+    local = jax.local_device_count()
+    if time > local:
+        raise ValueError(
+            f"time={time} exceeds {local} local devices — the time axis "
+            "must stay within one host (ICI)"
+        )
+    grid = np.asarray(devices).reshape(pairs, time)
+    return Mesh(grid, axis_names=("pairs", "time"))
+
+
+def local_pair_slice(mesh, total_pairs: int) -> Tuple[int, int]:
+    """[start, stop) of the batch rows this process owns under ``mesh``'s
+    pairs axis (process-major by construction)."""
+    import jax
+
+    pairs = mesh.shape["pairs"]
+    if total_pairs % pairs:
+        raise ValueError(f"{total_pairs} pairs do not tile the {pairs}-row mesh")
+    per_row = total_pairs // pairs
+    rows_per_proc = pairs // jax.process_count()
+    start = jax.process_index() * rows_per_proc * per_row
+    return start, start + rows_per_proc * per_row
+
+
+def master_batch_distributed(
+    targets_local: np.ndarray,
+    references_local: np.ndarray,
+    target_lengths_local: Sequence[int],
+    reference_lengths_local: Sequence[int],
+    config=None,
+    mesh=None,
+    need_default: bool = True,
+    need_no_limiter: bool = False,
+    need_no_limiter_normalized: bool = False,
+):
+    """Data-parallel mastering across processes: every process passes the
+    bucket-padded pairs it owns (identical bucket shapes everywhere — see
+    :func:`agree_bucket`), the global batch is assembled from the local
+    shards, and one jitted program runs over the whole mesh.  Returns the
+    global ``MasterOutput``; pull out the locally-owned results with
+    :func:`local_results`."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..config import Config
+    from .batch import _master_vmapped
+
+    config = config or Config()
+    if mesh is None:
+        mesh = global_mesh()
+    data_sharding = NamedSharding(mesh, P("pairs", None, None))
+    length_sharding = NamedSharding(mesh, P("pairs"))
+    targets = jax.make_array_from_process_local_data(data_sharding, targets_local)
+    references = jax.make_array_from_process_local_data(
+        data_sharding, references_local
+    )
+    t_lens = jax.make_array_from_process_local_data(
+        length_sharding, np.asarray(target_lengths_local, np.int32)
+    )
+    r_lens = jax.make_array_from_process_local_data(
+        length_sharding, np.asarray(reference_lengths_local, np.int32)
+    )
+
+    from ..ops import smoothing
+
+    interp_ops = smoothing.interpolation_operator_arrays(
+        config.internal_sample_rate,
+        config.fft_size,
+        config.lin_log_oversampling,
+        jnp.dtype(config.dtype),
+    )
+    return _master_vmapped(
+        targets,
+        references,
+        t_lens,
+        r_lens,
+        interp_ops,
+        config,
+        need_default,
+        need_no_limiter,
+        need_no_limiter_normalized,
+    )
+
+
+def local_results(global_array) -> List[Tuple[int, np.ndarray]]:
+    """(global batch row, host array) for every output row this process
+    owns — the save-side counterpart of the host-sharded load."""
+    rows = {}
+    for shard in global_array.addressable_shards:
+        row0 = shard.index[0].start or 0
+        data = np.asarray(shard.data)
+        for i in range(data.shape[0]):
+            rows[row0 + i] = data[i]
+    return sorted(rows.items())
+
+
+def agree_bucket(local_max_length: int, multiple: int = 1 << 18) -> int:
+    """Global bucket length: all-gather each process's longest track and
+    round the global maximum up to ``multiple`` — every process must pad to
+    the same shape before :func:`master_batch_distributed`."""
+    import jax
+
+    if jax.process_count() == 1:
+        longest = local_max_length
+    else:
+        from jax.experimental import multihost_utils
+
+        longest = int(
+            np.max(multihost_utils.process_allgather(np.int64(local_max_length)))
+        )
+    return -(-longest // multiple) * multiple
+
+
+# ---------------------------------------------------------------------------
+# Self-test: N CPU processes vs the single-process answer
+
+
+def _selftest_worker(process_id: int, num_processes: int, port: int) -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    import jax.numpy as jnp
+
+    from ..config import Config
+    from ..stages import master_graph
+    from .batch import bucket_pad
+
+    config = Config(dtype="float64")
+    sr = config.internal_sample_rate
+    total_pairs = len(jax.devices())
+    secs = [3.0 + 0.7 * i for i in range(total_pairs)]
+
+    def synth(seed: int, seconds: float, amp: float) -> np.ndarray:
+        r = np.random.RandomState(seed)
+        n = int(seconds * sr)
+        env = 0.5 + 0.5 * np.sin(np.arange(n) / sr * 2.0)[:, None]
+        return np.clip(amp * r.randn(n, 2) * env, -0.99, 0.99)
+
+    targets = [synth(10 + i, secs[i], 0.25) for i in range(total_pairs)]
+    references = [synth(50 + i, secs[-1 - i], 0.85) for i in range(total_pairs)]
+    t_all, t_lens = bucket_pad(targets, multiple=1 << 16)
+    r_all, r_lens = bucket_pad(references, multiple=1 << 16)
+
+    mesh = global_mesh(time=1)
+    start, stop = local_pair_slice(mesh, total_pairs)
+    out = master_batch_distributed(
+        t_all[start:stop],
+        r_all[start:stop],
+        t_lens[start:stop],
+        r_lens[start:stop],
+        config,
+        mesh,
+    )
+
+    failures = []
+    for row, got in local_results(out.result):
+        expected = np.asarray(
+            master_graph(
+                jnp.asarray(targets[row]), jnp.asarray(references[row]), config
+            ).result
+        )
+        err = expected - got[: t_lens[row]]
+        denom = float(np.sum(err * err))
+        snr = np.inf if denom == 0 else 10.0 * np.log10(np.sum(expected**2) / denom)
+        print(f"[proc {process_id}] pair {row}: {snr:.1f} dB", flush=True)
+        if snr < 100.0:
+            failures.append((row, snr))
+    if failures:
+        raise SystemExit(f"[proc {process_id}] SELFTEST FAILED: {failures}")
+    print(f"[proc {process_id}] SELFTEST OK", flush=True)
+
+
+def run_selftest(num_processes: int = 2, devices_per_process: int = 2) -> None:
+    """Spawn ``num_processes`` CPU workers and verify the distributed farm
+    reproduces the single-process master for every pair."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(
+        os.environ,
+        XLA_FLAGS=f"--xla_force_host_platform_device_count={devices_per_process}",
+    )
+    workers = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                "-m",
+                "matchering_tpu.parallel.launch",
+                "worker",
+                "--process_id",
+                str(i),
+                "--processes",
+                str(num_processes),
+                "--port",
+                str(port),
+            ],
+            env=env,
+        )
+        for i in range(num_processes)
+    ]
+    codes = [w.wait(timeout=600) for w in workers]
+    if any(codes):
+        raise SystemExit(f"selftest worker exit codes: {codes}")
+    print(f"multi-host selftest passed ({num_processes} processes)")
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        prog="python -m matchering_tpu.parallel.launch",
+        description="multi-host scaffolding: cluster self-test / worker entry",
+    )
+    parser.add_argument("command", choices=["selftest", "worker"])
+    parser.add_argument("--processes", type=int, default=2)
+    parser.add_argument("--devices_per_process", type=int, default=2)
+    parser.add_argument("--process_id", type=int, default=0)
+    parser.add_argument("--port", type=int, default=0)
+    args = parser.parse_args(argv)
+    if args.command == "selftest":
+        run_selftest(args.processes, args.devices_per_process)
+    else:
+        _selftest_worker(args.process_id, args.processes, args.port)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

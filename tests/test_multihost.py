@@ -1,0 +1,34 @@
+"""Multi-host scaffolding (VERDICT r1 item 5): a real 2-process CPU cluster
+(jax.distributed + Gloo collectives) mastering a host-sharded mixed-length
+batch must reproduce every single-process master.  The self-test lives in
+the package (``python -m matchering_tpu.parallel.launch selftest``) so it
+doubles as the documented smoke entry point.
+"""
+
+import numpy as np
+import pytest
+
+from matchering_tpu.parallel import launch
+
+
+def test_two_process_selftest():
+    launch.run_selftest(num_processes=2, devices_per_process=2)
+
+
+class TestGlobalMesh:
+    def test_shape_and_axis_names(self):
+        mesh = launch.global_mesh(time=2)
+        assert mesh.axis_names == ("pairs", "time")
+        assert mesh.shape["pairs"] * mesh.shape["time"] == 8
+
+    def test_time_axis_must_fit_locally(self):
+        with pytest.raises(ValueError):
+            launch.global_mesh(time=16)
+
+    def test_local_pair_slice_covers_batch(self):
+        mesh = launch.global_mesh(time=1)
+        start, stop = launch.local_pair_slice(mesh, 16)
+        assert (start, stop) == (0, 16)  # single process owns everything
+
+    def test_agree_bucket_single_process(self):
+        assert launch.agree_bucket(100_000, multiple=1 << 16) == 2 * (1 << 16)
