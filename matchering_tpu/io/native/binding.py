@@ -158,15 +158,36 @@ def read_flac(path: str) -> Tuple[np.ndarray, int]:
     )
     if rc != 0:
         raise RuntimeError(f"unknown format: '{os.path.basename(path)}' (rc={rc})")
-    out = np.empty((frames.value, channels.value), dtype=np.float64)
-    n = lib.mtpu_flac_read(
-        path.encode(),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        frames.value,
+
+    def _decode(capacity: int) -> Tuple[np.ndarray, int]:
+        buf = np.empty((capacity, channels.value), dtype=np.float64)
+        n = lib.mtpu_flac_read(
+            path.encode(),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            capacity,
+        )
+        if n < 0:
+            raise RuntimeError(f"native FLAC decode failed (rc={n})")
+        return buf, n
+
+    # STREAMINFO total_samples is advisory (0 = unknown, RFC 9639) and
+    # attacker-controlled: allocate from it only when it is both present
+    # and plausible against the file size (silence compresses extremely,
+    # hence the generous factor); otherwise decode with a growing buffer.
+    claimed = frames.value
+    file_bytes = os.path.getsize(path)
+    plausible = 0 < claimed and (
+        claimed * channels.value * 8 <= 1 << 30 or claimed <= file_bytes * 1000
     )
-    if n < 0:
-        raise RuntimeError(f"native FLAC decode failed (rc={n})")
-    return out[:n], rate.value
+    if plausible:
+        out, n = _decode(claimed)
+        return out[:n], rate.value
+    capacity = max(file_bytes // max(channels.value, 1), 1 << 16)
+    while True:
+        out, n = _decode(capacity)
+        if n < capacity:
+            return out[:n].copy(), rate.value
+        capacity *= 4
 
 
 def write_flac(path: str, array: np.ndarray, sample_rate: int, subtype: str) -> None:

@@ -488,9 +488,13 @@ std::vector<uint8_t> read_file(const char* path) {
   std::vector<uint8_t> buf;
   FILE* f = fopen(path, "rb");
   if (!f) return buf;
-  fseek(f, 0, SEEK_END);
-  long n = ftell(f);
-  fseek(f, 0, SEEK_SET);
+  long n = -1;
+  if (fseek(f, 0, SEEK_END) == 0) n = ftell(f);
+  // a negative ftell would otherwise wrap to ~2^64 in the resize below
+  if (n < 0 || fseek(f, 0, SEEK_SET) != 0) {
+    fclose(f);
+    return buf;
+  }
   buf.resize((size_t)n);
   if (fread(buf.data(), 1, (size_t)n, f) != (size_t)n) buf.clear();
   fclose(f);

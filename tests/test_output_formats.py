@@ -62,6 +62,38 @@ class TestFfmpegWriteFallback:
             Result("out.ogg", "PCM_16")  # OGG carries VORBIS only
 
 
+class TestFlacStreaminfoEdges:
+    """ADVICE r1: STREAMINFO total_samples is advisory and attacker
+    controlled — 0 (unknown length, legal per RFC 9639) must decode via the
+    growing-buffer path, and an absurd claimed count must not drive a
+    multi-GB allocation."""
+
+    @staticmethod
+    def _patched_flac(tmp_path, rng, total_samples_bytes):
+        audio = np.clip(0.4 * rng.randn(30000, 2), -0.9, 0.9)
+        path = str(tmp_path / "edge.flac")
+        native.write_flac(path, np.ascontiguousarray(audio), 44100, "PCM_16")
+        blob = bytearray(open(path, "rb").read())
+        # STREAMINFO starts at byte 8; total_samples is the low nibble of
+        # relative byte 13 plus bytes 14..17
+        blob[21] = (blob[21] & 0xF0) | total_samples_bytes[0]
+        blob[22:26] = bytes(total_samples_bytes[1:])
+        open(path, "wb").write(bytes(blob))
+        return path, audio
+
+    def test_unknown_length_decodes(self, tmp_path, rng):
+        path, audio = self._patched_flac(tmp_path, rng, [0, 0, 0, 0, 0])
+        decoded, sr = native.read_flac(path)
+        assert sr == 44100 and decoded.shape == audio.shape
+        np.testing.assert_allclose(decoded, audio, atol=2.0 / (1 << 15))
+
+    def test_absurd_claimed_length_bounded(self, tmp_path, rng):
+        path, audio = self._patched_flac(tmp_path, rng, [0x0F, 0xFF, 0xFF, 0xFF, 0xFF])
+        decoded, sr = native.read_flac(path)  # ~2^36 claimed; must not OOM
+        assert sr == 44100 and decoded.shape == audio.shape
+        np.testing.assert_allclose(decoded, audio, atol=2.0 / (1 << 15))
+
+
 class TestNativeAutoBuild:
     def test_flac_codec_builds_on_first_use(self, tmp_path, monkeypatch):
         lib = native._lib_path()
