@@ -380,6 +380,99 @@ def piece_rms_sharded(
     return jnp.sqrt(total / piece_size)
 
 
+def piece_rms_sharded_dynamic(
+    x_local: jax.Array,
+    piece_size: jax.Array,
+    divisions: jax.Array,
+    div_max: int,
+    axis: str,
+):
+    """:func:`piece_rms_sharded` with *traced* piece geometry (per-track true
+    lengths in a bucket-padded farm).  Returns ``(rmses, valid)`` of shape
+    ``(div_max,)``."""
+    block = x_local.shape[0]
+    d = jax.lax.axis_index(axis)
+    gidx = d * block + jnp.arange(block)
+    pid = jnp.clip(gidx // piece_size, 0, div_max - 1)
+    valid_sample = (gidx < piece_size * divisions).astype(x_local.dtype)
+    sums = jax.ops.segment_sum(
+        jnp.square(x_local) * valid_sample, pid, num_segments=div_max
+    )
+    total = jax.lax.psum(sums, axis)
+    rmses = jnp.sqrt(total / piece_size)
+    valid = (jnp.arange(div_max) < divisions).astype(x_local.dtype)
+    return rmses, valid
+
+
+def masked_average_spectrum_sharded_dynamic(
+    x_local: jax.Array,
+    mask: jax.Array,
+    piece_size: jax.Array,
+    divisions: jax.Array,
+    div_max: int,
+    fft_size: int,
+    axis: str,
+) -> jax.Array:
+    """:func:`masked_average_spectrum_sharded` with *traced* piece geometry.
+
+    Frames are enumerated by their global ordinal ``f`` (``p = f // fpp``,
+    ``k = f % fpp`` — traced divisions, no static frame table), so each
+    shard touches exactly the ``block // fft_size + 2`` frames that start
+    inside its block; ``mask`` must already be zero for invalid pieces.
+    """
+    frames_per_piece = jnp.maximum(piece_size // fft_size, 1)
+    total_frames = divisions * frames_per_piece
+    piece_c = jnp.maximum(piece_size, 1)
+
+    block = x_local.shape[0]
+    d = jax.lax.axis_index(axis)
+    lo = d * block
+    # first frame ordinal whose start >= lo
+    p_lo = jnp.clip(lo // piece_c, 0, div_max - 1)
+    k_lo = jnp.clip(-(-(lo - p_lo * piece_size) // fft_size), 0, frames_per_piece)
+    first = p_lo * frames_per_piece + k_lo
+    max_local_frames = block // fft_size + 2
+
+    halo = _halo_from_right(x_local, fft_size, axis)
+    buf = jnp.concatenate([x_local, halo])
+
+    f = first + jnp.arange(max_local_frames)
+    p = jnp.clip(f // frames_per_piece, 0, div_max - 1)
+    k = f % frames_per_piece
+    starts = p * piece_size + k * fft_size
+    owned = (f < total_frames) & (starts >= lo) & (starts < lo + block)
+    offsets = jnp.clip(starts - lo, 0, block)  # halo guarantees in-bounds
+
+    windows = jax.vmap(lambda o: jax.lax.dynamic_slice(buf, (o,), (fft_size,)))(
+        offsets
+    )
+    specs = jnp.abs(jnp.fft.rfft(windows, axis=-1)) / fft_size
+    # pieces shorter than one frame contribute nothing (the clamp above
+    # only keeps the ordinal arithmetic well-defined)
+    has_frames = (piece_size // fft_size > 0).astype(x_local.dtype)
+    weights = mask[p] * owned.astype(x_local.dtype) * has_frames
+    partial = jnp.sum(specs * weights[:, None], axis=0)
+    total = jax.lax.psum(partial, axis)
+
+    selected = jnp.maximum(jnp.sum(mask), 1.0)
+    return total / (selected * frames_per_piece)
+
+
+def _gather_global_window(
+    x_local: jax.Array, start: jax.Array, width: int, axis: str
+) -> jax.Array:
+    """Assemble ``x_global[start : start + width]`` on every shard (width is
+    static and small): each shard contributes its owned samples, one psum
+    combines them.  Out-of-range positions read as zero."""
+    block = x_local.shape[0]
+    d = jax.lax.axis_index(axis)
+    lo = d * block
+    pos = start + jnp.arange(width) - lo
+    inb = (pos >= 0) & (pos < block)
+    vals = x_local[jnp.clip(pos, 0, block - 1)] * inb.astype(x_local.dtype)
+    return jax.lax.psum(vals, axis)
+
+
 def masked_average_spectrum_sharded(
     x_local: jax.Array,
     mask: jax.Array,
@@ -441,16 +534,117 @@ def global_peak(x_local: jax.Array, axis: str) -> jax.Array:
 # Limiter, sharded
 
 
-def limit_sharded(array_local: jax.Array, config: Config, axis: str) -> jax.Array:
-    """Time-sharded Hyrax limiter (see ``matchering_tpu.limiter.limit``)."""
+def _attack_tail_patch_sharded(
+    slided: jax.Array,
+    gain_hard_local: jax.Array,
+    window_size: int,
+    length: jax.Array,
+    axis: str,
+) -> jax.Array:
+    """Recompute the ``size // 2`` attack sliding-max outputs whose windows
+    cross the dynamic track end (reflect semantics there — reference
+    ``maximum_filter1d`` at the exact length) and substitute them in.
+
+    The end window is assembled globally (one small psum), the reflect
+    filter runs replicated, and the patch lands via per-position selects —
+    no cross-shard scatter, correct even when the patch straddles shards.
+    """
+    from ..ops.sliding import max_filter1d
+
+    size = 2 * make_odd(window_size) - 1
+    right = size - size // 2 - 1
+    window = _gather_global_window(gain_hard_local, length - 2 * size, 2 * size, axis)
+    corrected = max_filter1d(window, size)[-right:]
+
+    block = slided.shape[0]
+    d = jax.lax.axis_index(axis)
+    gidx = d * block + jnp.arange(block)
+    rel = gidx - (length - right)
+    patched = jnp.zeros_like(slided)
+    for k in range(right):
+        patched = jnp.where(rel == k, corrected[k], patched)
+    return jnp.where((rel >= 0) & (gidx < length), patched, slided)
+
+
+def filtfilt_first_order_sharded_truncated(
+    filt: iir.FirstOrderFilter, x_local: jax.Array, length: jax.Array, axis: str
+) -> jax.Array:
+    """Sharded ``scipy.signal.filtfilt(b, a, x[:length])`` with ``length``
+    traced (bucket-padded farm entries) — the distributed counterpart of
+    ``ops.iir.filtfilt_first_order_truncated``.
+
+    The forward pass is the ordinary carried chain (causal — exact on
+    [0, length)); the backward chain's odd-extension entry state at the
+    dynamic boundary is computed from two small globally-gathered windows
+    and injected into the reversed scan as a one-hot drive at
+    ``length - 1``, with all beyond-boundary drives masked to zero.
+    """
+    assert filt.b1 == 0.0, "attack smoother is a pure one-pole"
+    padlen = 6
+    dtype = x_local.dtype
+    b0 = jnp.asarray(filt.b0, dtype)
+    a1 = jnp.asarray(filt.a1, dtype)
+    zi = jnp.asarray(filt.zi(), dtype)
+
+    head = _bcast_from(x_local[: padlen + 1], 0, axis)
+    head_ext = 2.0 * head[0] - head[padlen:0:-1]
+    fwd_init = _ext_affine(filt, head_ext, zi_scale=head_ext[0])
+    y1 = carried_scan(b0 * x_local, filt.pole, axis, init=fwd_init)
+
+    # odd tail extension + forward/backward warm-up at the dynamic boundary
+    xs = _gather_global_window(x_local, length - 7, 7, axis)
+    y_last = _gather_global_window(y1, length - 1, 1, axis)[0]
+    tail_ext = 2.0 * xs[6] - xs[5::-1]
+    state = -a1 * y_last  # DF2T state: z = b1*x - a1*y, b1 == 0
+    y_ext = []
+    for k in range(padlen):
+        yk = b0 * tail_ext[k] + state
+        state = -a1 * yk
+        y_ext.append(yk)
+    state = zi * y_ext[-1]
+    for k in range(padlen - 1, -1, -1):
+        yb = b0 * y_ext[k] + state
+        state = -a1 * yb
+
+    block = x_local.shape[0]
+    d = jax.lax.axis_index(axis)
+    gidx = d * block + jnp.arange(block)
+    keep = gidx < length
+    drive = b0 * jnp.where(keep, y1, 0.0) + jnp.where(gidx == length - 1, state, 0.0)
+    y2 = carried_scan(drive, filt.pole, axis, reverse=True)
+    return jnp.where(keep, y2, 0.0)
+
+
+def limit_sharded(
+    array_local: jax.Array, config: Config, axis: str, length=None
+) -> jax.Array:
+    """Time-sharded Hyrax limiter (see ``matchering_tpu.limiter.limit``).
+
+    ``length`` (optional, traced): true track length of a bucket-padded
+    entry — the gain envelope then ends exactly at ``length`` (masked
+    envelope, reflect-corrected attack max, boundary-state filtfilt) and
+    the output beyond it is zero."""
     fs = config.internal_sample_rate
     rectified = basics.rectify(array_local, config.threshold)
+    block = array_local.shape[0]
+    if length is not None:
+        d = jax.lax.axis_index(axis)
+        gidx = d * block + jnp.arange(block)
+        rectified = jnp.where(gidx < length, rectified, 1.0)
     gain_hard_clip = basics.flip(1.0 / rectified)
 
     attack = ms_to_samples(config.limiter.attack, fs)
     slided = sliding_max_attack_sharded(gain_hard_clip, attack, axis)
     smoother = iir.one_pole_filter(config.limiter.attack_filter_coefficient, attack)
-    gain_attack = filtfilt_first_order_sharded(smoother, slided, axis)
+    if length is None:
+        gain_attack = filtfilt_first_order_sharded(smoother, slided, axis)
+    else:
+        slided = _attack_tail_patch_sharded(
+            slided, gain_hard_clip, attack, length, axis
+        )
+        gain_attack = filtfilt_first_order_sharded_truncated(
+            smoother, slided, length, axis
+        )
 
     hold = ms_to_samples(config.limiter.hold, fs)
     hold_slided = sliding_max_hold_sharded(slided, hold, axis)
@@ -473,6 +667,8 @@ def limit_sharded(array_local: jax.Array, config: Config, axis: str) -> jax.Arra
 
     gain = basics.flip(basics.max_mix(gain_hard_clip, gain_attack, gain_release))
     limited = array_local * gain[:, None]
+    if length is not None:
+        limited = limited * (gidx < length).astype(limited.dtype)[:, None]
 
     overage = jnp.any(jnp.abs(rectified - 1.0) > 1e-8 + 1e-5)
     needed = jax.lax.psum(overage.astype(jnp.int32), axis) > 0
@@ -487,17 +683,24 @@ def _master_sharded_body(
     target_local: jax.Array,
     reference_local: jax.Array,
     interp_ops,
+    t_geom,
+    r_geom,
     config: Config,
-    t_len: int,
-    t_div: int,
-    t_piece: int,
-    r_div: int,
-    r_piece: int,
+    t_div_max: Optional[int],
+    r_div_max: Optional[int],
     need_default: bool,
     need_no_limiter: bool,
     need_no_limiter_normalized: bool,
     axis: str,
 ):
+    """One shard's slice of the full mastering graph.
+
+    ``t_geom`` / ``r_geom`` are ``(length, divisions, piece_size)`` triples —
+    host ints on the static path (``*_div_max is None``) or traced scalars
+    (bucket-padded farm entries analyzed at their true per-track lengths,
+    reference ``match_levels.py:47-59``)."""
+    t_len, t_div, t_piece = t_geom
+    r_len, r_div, r_piece = r_geom
     dtype = jnp.dtype(config.dtype)
     target_local = target_local.astype(dtype)
     reference_local = reference_local.astype(dtype)
@@ -515,10 +718,15 @@ def _master_sharded_body(
     t_mid, t_side = basics.lr_to_ms(target_local)
     r_mid, r_side = basics.lr_to_ms(reference_local)
 
-    t_rmses = piece_rms_sharded(t_mid, t_piece, t_div, axis)
-    r_rmses = piece_rms_sharded(r_mid, r_piece, r_div, axis)
-    t_mask, t_match_rms = basics.loudest_piece_stats(t_rmses)
-    r_mask, r_match_rms = basics.loudest_piece_stats(r_rmses)
+    def piece_stats(signal, piece, div, div_max):
+        if div_max is None:
+            rmses = piece_rms_sharded(signal, piece, div, axis)
+            return basics.loudest_piece_stats(rmses)
+        rmses, valid = piece_rms_sharded_dynamic(signal, piece, div, div_max, axis)
+        return basics.loudest_piece_stats_masked(rmses, valid, div)
+
+    t_mask, t_match_rms = piece_stats(t_mid, t_piece, t_div, t_div_max)
+    r_mask, r_match_rms = piece_stats(r_mid, r_piece, r_div, r_div_max)
     report["target_match_rms"] = t_match_rms
     report["reference_match_rms"] = r_match_rms
 
@@ -528,13 +736,18 @@ def _master_sharded_body(
     t_side = t_side * rms_coefficient
 
     # Stage 2: match frequencies -------------------------------------------
+    def spectrum_of(signal, mask, piece, div, div_max):
+        if div_max is None:
+            return masked_average_spectrum_sharded(
+                signal, mask, piece, div, config.fft_size, axis
+            )
+        return masked_average_spectrum_sharded_dynamic(
+            signal, mask, piece, div, div_max, config.fft_size, axis
+        )
+
     def matching_fir(t_sig, r_sig):
-        t_fft = masked_average_spectrum_sharded(
-            t_sig, t_mask, t_piece, t_div, config.fft_size, axis
-        )
-        r_fft = masked_average_spectrum_sharded(
-            r_sig, r_mask, r_piece, r_div, config.fft_size, axis
-        )
+        t_fft = spectrum_of(t_sig, t_mask, t_piece, t_div, t_div_max)
+        r_fft = spectrum_of(r_sig, r_mask, r_piece, r_div, r_div_max)
         matching = r_fft / jnp.maximum(config.min_value, t_fft)
         smoothed = smoothing.smooth_exponentially(
             matching,
@@ -569,8 +782,7 @@ def _master_sharded_body(
     # Stage 3: RMS correction ----------------------------------------------
     for step in range(config.rms_correction_steps):
         clipped = basics.clip(result_mid)
-        clipped_rmses = piece_rms_sharded(clipped, t_piece, t_div, axis)
-        _, clipped_match_rms = basics.loudest_piece_stats(clipped_rmses)
+        _, clipped_match_rms = piece_stats(clipped, t_piece, t_div, t_div_max)
         coefficient = r_match_rms / jnp.maximum(config.min_value, clipped_match_rms)
         report[f"rms_correction_{step + 1}"] = coefficient
         result_mid = result_mid * coefficient
@@ -586,8 +798,10 @@ def _master_sharded_body(
 
     result_default = None
     if need_default:
+        limiter_length = None if t_div_max is None else t_len
         result_default = (
-            limit_sharded(result, config, axis) * final_amplitude_coefficient
+            limit_sharded(result, config, axis, length=limiter_length)
+            * final_amplitude_coefficient
         )
 
     result_no_limiter = result if need_no_limiter else None
@@ -643,12 +857,11 @@ def master_sharded(
     spec = P(axis, None)
     body = functools.partial(
         _master_sharded_body,
+        t_geom=(t_len, t_div, t_piece),
+        r_geom=(r_len, r_div, r_piece),
         config=config,
-        t_len=t_len,
-        t_div=t_div,
-        t_piece=t_piece,
-        r_div=r_div,
-        r_piece=r_piece,
+        t_div_max=None,
+        r_div_max=None,
         need_default=need_default,
         need_no_limiter=need_no_limiter,
         need_no_limiter_normalized=need_no_limiter_normalized,
@@ -699,6 +912,8 @@ def master_farm(
     need_default: bool = True,
     need_no_limiter: bool = False,
     need_no_limiter_normalized: bool = False,
+    target_lengths=None,
+    reference_lengths=None,
 ) -> MasterOutput:
     """Pod-scale mastering farm: a batch of pairs sharded over the 2-D
     ``(pairs, time)`` mesh — data parallelism across independent pairs on
@@ -710,7 +925,16 @@ def master_farm(
     axis; the batch shares one padded length per side (see
     ``parallel.batch.bucket_pad``).  Time collectives never cross the pairs
     axis, so cross-host traffic is zero when pairs maps to DCN.
+
+    ``target_lengths`` / ``reference_lengths`` ((B,) ints, optional): true
+    per-track lengths of bucket-padded entries.  When given, every entry is
+    analyzed and limited at its exact length (batch entry i == the
+    single-pair master of unpadded pair i; samples beyond the true length
+    come back zero).  Without them the bucket length is the analysis
+    length.
     """
+    if (target_lengths is None) != (reference_lengths is None):
+        raise ValueError("pass both target_lengths and reference_lengths, or neither")
     if mesh is None:
         from .mesh import make_mesh
 
@@ -725,8 +949,22 @@ def master_farm(
             f"batch {targets.shape[0]} not divisible by pairs axis {n_pairs}"
         )
     t_len, r_len = targets.shape[1], references.shape[1]
-    t_div, t_piece = piece_division(t_len, config.max_piece_size)
-    r_div, r_piece = piece_division(r_len, config.max_piece_size)
+
+    if target_lengths is None:
+        t_div, t_piece = piece_division(t_len, config.max_piece_size)
+        r_div, r_piece = piece_division(r_len, config.max_piece_size)
+        t_geom = (t_len, t_div, t_piece)
+        r_geom = (r_len, r_div, r_piece)
+        t_div_max = r_div_max = None
+    else:
+        t_lens = np.asarray(target_lengths, np.int32)
+        r_lens = np.asarray(reference_lengths, np.int32)
+        t_divs = t_lens // config.max_piece_size + 1
+        r_divs = r_lens // config.max_piece_size + 1
+        t_geom = (jnp.asarray(t_lens), jnp.asarray(t_divs), jnp.asarray(t_lens // t_divs))
+        r_geom = (jnp.asarray(r_lens), jnp.asarray(r_divs), jnp.asarray(r_lens // r_divs))
+        t_div_max = t_len // config.max_piece_size + 1
+        r_div_max = r_len // config.max_piece_size + 1
 
     def pad(x):
         n = x.shape[1]
@@ -739,11 +977,8 @@ def master_farm(
     body = functools.partial(
         _master_sharded_body,
         config=config,
-        t_len=t_len,
-        t_div=t_div,
-        t_piece=t_piece,
-        r_div=r_div,
-        r_piece=r_piece,
+        t_div_max=t_div_max,
+        r_div_max=r_div_max,
         need_default=need_default,
         need_no_limiter=need_no_limiter,
         need_no_limiter_normalized=need_no_limiter_normalized,
@@ -765,14 +1000,35 @@ def master_farm(
         config.lin_log_oversampling,
         jnp.dtype(config.dtype),
     )
-    sharded = shard_map(
-        lambda tl, rl, ops: jax.vmap(body, in_axes=(0, 0, None))(tl, rl, ops),
-        mesh=mesh,
-        in_specs=(spec, spec, (P(), P())),
-        out_specs=out_specs,
-        check_vma=False,
-    )
-    out = jax.jit(sharded)(targets_p, references_p, interp_ops)
+    if t_div_max is None:
+        # static geometry: bake it into the trace (segment counts and frame
+        # grids must be compile-time constants on this path)
+        mapped = lambda tl, rl, ops: jax.vmap(
+            lambda t, r: body(t, r, ops, t_geom, r_geom), in_axes=(0, 0)
+        )(tl, rl)
+        sharded = shard_map(
+            mapped,
+            mesh=mesh,
+            in_specs=(spec, spec, (P(), P())),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        out = jax.jit(sharded)(targets_p, references_p, interp_ops)
+    else:
+        pspec = P(pairs_axis)
+        geom_spec = (pspec, pspec, pspec)
+        mapped = lambda tl, rl, ops, tg, rg: jax.vmap(
+            lambda t, r, tg_i, rg_i: body(t, r, ops, tg_i, rg_i),
+            in_axes=(0, 0, (0, 0, 0), (0, 0, 0)),
+        )(tl, rl, tg, rg)
+        sharded = shard_map(
+            mapped,
+            mesh=mesh,
+            in_specs=(spec, spec, (P(), P()), geom_spec, geom_spec),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        out = jax.jit(sharded)(targets_p, references_p, interp_ops, t_geom, r_geom)
 
     def trim(x):
         return None if x is None else x[:, :t_len]

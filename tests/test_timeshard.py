@@ -237,3 +237,44 @@ class TestMasterFarm:
             )
             assert v1 > 110.0, f"pair {i} limited SNR {v1:.1f} dB"
             assert v2 > 110.0, f"pair {i} normalized SNR {v2:.1f} dB"
+
+    def test_farm_2d_mesh_true_lengths(self, snr):
+        """VERDICT r1 item 1 at farm scale: a mixed-length bucket through
+        the 2-D (pairs=2, time=4) farm with per-track lengths matches each
+        per-pair single-device master at >100 dB."""
+        from test_pipeline_parity import make_track
+
+        from matchering_tpu.parallel import make_mesh
+        from matchering_tpu.parallel.batch import bucket_pad
+
+        rng = np.random.RandomState(11)
+        targets = [
+            make_track(rng, 9.0, kind="target"),
+            make_track(rng, 14.0, kind="target") * 0.7,
+        ]
+        references = [
+            make_track(rng, 11.0, kind="ref"),
+            make_track(rng, 12.5, kind="ref") * 0.9,
+        ]
+        cfg = mg.Config(dtype="float64")
+        mesh = make_mesh(pairs=2, time=4)
+
+        t_batch, t_lens = bucket_pad(targets, multiple=1 << 17)
+        r_batch, r_lens = bucket_pad(references, multiple=1 << 17)
+        out = timeshard.master_farm(
+            t_batch,
+            r_batch,
+            cfg,
+            mesh=mesh,
+            need_default=True,
+            target_lengths=t_lens,
+            reference_lengths=r_lens,
+        )
+        for i, (t, r) in enumerate(zip(targets, references)):
+            single = mg.master_graph(
+                jnp.asarray(t), jnp.asarray(r), cfg, need_default=True
+            )
+            got = np.asarray(out.result[i])
+            assert np.all(got[t_lens[i] :] == 0.0), i
+            value = snr(np.asarray(single.result), got[: t_lens[i]])
+            assert value > 100.0, f"pair {i} SNR {value:.1f} dB"
