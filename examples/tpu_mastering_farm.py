@@ -1,42 +1,59 @@
-"""TPU-native extra: batch mastering farm across a device mesh.
+"""TPU-native extra: batch mastering farm.
 
-No reference equivalent (the reference is single-process CPU): masters a
-bucket of (target, reference) pairs data-parallel over the ``pairs`` mesh
-axis, each pair's time axis sharded over the ``time`` (ICI) axis.
+Usage: python examples/tpu_mastering_farm.py [t0 r0 t1 r1 ... ] [out_dir]
+
+No reference equivalent (the reference is single-process CPU).  Two levels
+of API:
+
+1. ``mg.process_batch`` — the file-to-file driver: decodes, conditions,
+   bucket-pads, masters every pair in ONE device dispatch (each track
+   analyzed and limited at its true length), trims, encodes.
+2. The raw array path below it (``parallel.master_farm``) for callers that
+   manage their own I/O: a 2-D ``(pairs, time)`` mesh shards independent
+   pairs across the outer (DCN at pod scale) axis and each pair's time
+   axis across the inner (ICI) axis.
 """
 
-import numpy as np
+import os
+import sys
 
 import matchering_tpu as mg
-from matchering_tpu.io import load
-from matchering_tpu.parallel import batch, make_mesh, timeshard
 
-pairs = [
-    ("song_a.wav", "ref_a.wav"),
-    ("song_b.wav", "ref_b.wav"),
-    ("song_c.wav", "ref_c.wav"),
-    ("song_d.wav", "ref_d.wav"),
+argv = sys.argv[1:]
+out_dir = argv.pop() if len(argv) % 2 == 1 else "."
+files = argv or [
+    "song_a.wav", "ref_a.wav",
+    "song_b.wav", "ref_b.wav",
+    "song_c.wav", "ref_c.wav",
+    "song_d.wav", "ref_d.wav",
 ]
+pairs = list(zip(files[::2], files[1::2]))
 
-config = mg.Config()
+# --- level 1: the one-call driver -----------------------------------------
+jobs = [
+    mg.PairJob(
+        target=target,
+        reference=reference,
+        results=[mg.pcm16(os.path.join(out_dir, f"master_{i}.wav"))],
+    )
+    for i, (target, reference) in enumerate(pairs)
+]
+mg.process_batch(jobs)
 
-targets, references = [], []
-for target_file, reference_file in pairs:
-    t, t_sr = load(target_file, "target", "/tmp")
-    r, r_sr = load(reference_file, "reference", "/tmp")
-    t, _ = mg.check(t, t_sr, config, "target")
-    r, _ = mg.check(r, r_sr, config, "reference")
-    targets.append(t.astype(np.float32))
-    references.append(r.astype(np.float32))
-
-# Bucket-pad to shared lengths (one compiled executable per bucket shape).
-targets_b, t_lengths = batch.bucket_pad(targets)
-references_b, _ = batch.bucket_pad(references)
-
-# 2-D mesh: independent pairs outside, time blocks inside (ICI).
-mesh = make_mesh(pairs=2, time=4)
-out = timeshard.master_farm(targets_b, references_b, config, mesh=mesh)
-
-for i, (target_file, _) in enumerate(pairs):
-    mastered = np.asarray(out.result[i, : t_lengths[i]])
-    mg.save(f"master_{i}_{target_file}", mastered, config.internal_sample_rate, "PCM_16")
+# --- level 2: the same farm over a device mesh, arrays in hand ------------
+# (uncomment on a multi-device host; zero cross-pair communication, so the
+# pairs axis scales to pod size — see SCALING.md)
+#
+# import numpy as np
+# from matchering_tpu.parallel import batch, make_mesh, timeshard
+# config = mg.Config()
+# tracks = [mg.check(*mg.load(t, "target", "/tmp"), config, "target")[0] for t, _ in pairs]
+# refs = [mg.check(*mg.load(r, "reference", "/tmp"), config, "reference")[0] for _, r in pairs]
+# targets_b, t_lengths = batch.bucket_pad(tracks)
+# references_b, r_lengths = batch.bucket_pad(refs)
+# mesh = make_mesh(pairs=2, time=4)
+# out = timeshard.master_farm(targets_b, references_b, config, mesh=mesh,
+#                             target_lengths=t_lengths, reference_lengths=r_lengths)
+# for i in range(len(pairs)):
+#     mg.save(f"master_{i}.wav", np.asarray(out.result[i, : t_lengths[i]]),
+#             config.internal_sample_rate, "PCM_16")

@@ -20,6 +20,16 @@ multi-device sharding tools (``matchering_tpu.parallel``).
 __version__ = "0.1.0"
 __title__ = "matchering_tpu"
 
+import os as _os
+
+if _os.environ.get("MATCHERING_TPU_PALLAS") == "1":
+    # must happen before the TPU backend initializes: this backend
+    # stack-allocates Pallas outputs in scoped VMEM and the fused limiter
+    # front-end needs the raised limit (see ops/pallas_envelope.py)
+    from .utils import enable_pallas_vmem_headroom as _pallas_headroom
+
+    _pallas_headroom()
+
 from . import ops
 from .checker import check, check_equality
 from .config import Config, LimiterConfig

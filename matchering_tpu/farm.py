@@ -91,6 +91,19 @@ def process_batch(
 
     t_batch, t_lens = bucket_pad(targets, multiple=bucket_multiple)
     r_batch, r_lens = bucket_pad(references, multiple=bucket_multiple)
+
+    # a mesh shards the batch over its pairs rows — round the job count up
+    # by repeating the last pair (extra outputs are simply not encoded)
+    if mesh is not None and "pairs" in mesh.shape:
+        rows = mesh.shape["pairs"]
+        short = -len(jobs) % rows
+        if short:
+            import numpy as _np
+
+            t_batch = _np.concatenate([t_batch, _np.repeat(t_batch[-1:], short, 0)])
+            r_batch = _np.concatenate([r_batch, _np.repeat(r_batch[-1:], short, 0)])
+            t_lens = list(t_lens) + [t_lens[-1]] * short
+            r_lens = list(r_lens) + [r_lens[-1]] * short
     debug(
         f"buckets: targets {t_batch.shape}, references {r_batch.shape} "
         f"(true lengths {t_lens} / {r_lens})"

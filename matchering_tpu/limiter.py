@@ -69,18 +69,24 @@ def _release_stage(slided_attack: jax.Array, config: Config) -> jax.Array:
     return jnp.maximum(hold_out, release_out)
 
 
-def _use_pallas() -> bool:
+def _use_pallas(n: int) -> bool:
     """Opt-in switch for the fused Pallas front-end (``ops.pallas_envelope``).
 
-    The kernel is bit-identical to the unfused ops (tests/test_pallas.py)
-    and runs on TPU backends, but the remote compile service in this
-    environment takes minutes per Pallas program, so the XLA form stays the
-    default; set MATCHERING_TPU_PALLAS=1 to enable."""
+    The kernel is bit-identical to the unfused ops (tests/test_pallas.py,
+    on-chip ``tools_pallas_verify.py``).  It needs the scoped-VMEM headroom
+    flag set before backend init (this backend stack-allocates Pallas
+    outputs in scoped VMEM — importing the package with
+    MATCHERING_TPU_PALLAS=1 arranges it) and a track short enough for its
+    two full-length outputs to fit that budget; set MATCHERING_TPU_PALLAS=1
+    to enable, the XLA ops carry everything else."""
     import os
+
+    from .ops.pallas_envelope import fits_pallas
 
     return (
         os.environ.get("MATCHERING_TPU_PALLAS") == "1"
         and jax.default_backend() not in ("cpu",)
+        and fits_pallas(n)
     )
 
 
@@ -97,11 +103,8 @@ def limit(array: jax.Array, config: Config, length=None) -> jax.Array:
     output beyond ``length`` is zeroed.  Output on [0, length) equals
     ``limit(array[:length], config)``.
     """
-    rectified = basics.rectify(array, config.threshold)
-    if length is not None:
-        rectified = jnp.where(jnp.arange(rectified.shape[0]) < length, rectified, 1.0)
-
-    if length is None and _use_pallas():
+    tolerance = 1e-8 + 1e-5 * 1.0  # np.isclose defaults (hyrax.py:83)
+    if length is None and _use_pallas(array.shape[0]):
         from .ops.pallas_envelope import limiter_front_end
 
         attack = ms_to_samples(config.limiter.attack, config.internal_sample_rate)
@@ -113,9 +116,23 @@ def limit(array: jax.Array, config: Config, length=None) -> jax.Array:
         )
         gain_attack = iir.filtfilt_first_order(smoother, slided)
         hard_clip_slided = slided
+        # |rectified - 1| <= tol  <=>  1 - 1/rectified <= tol/(1+tol)
+        # (monotone, rectified >= 1) — the early-out check reuses the
+        # kernel's gain output instead of recomputing the envelope
+        not_needed = jnp.all(gain_hard_clip <= tolerance / (1.0 + tolerance))
     else:
+        rectified = basics.rectify(array, config.threshold)
+        if length is not None:
+            rectified = jnp.where(
+                jnp.arange(rectified.shape[0]) < length, rectified, 1.0
+            )
         gain_hard_clip = basics.flip(1.0 / rectified)
         gain_attack, hard_clip_slided = _attack_stage(gain_hard_clip, config, length)
+        # Reference early-out (hyrax.py:83-85): if nothing exceeds the
+        # threshold (within np.isclose tolerance) the input passes through
+        # untouched.  (With a traced length the beyond-boundary envelope is
+        # exactly 1, so the all() reduction matches the true-length check.)
+        not_needed = jnp.all(jnp.abs(rectified - 1.0) <= tolerance)
     gain_release = _release_stage(hard_clip_slided, config)
 
     gain = basics.flip(basics.max_mix(gain_hard_clip, gain_attack, gain_release))
@@ -123,9 +140,4 @@ def limit(array: jax.Array, config: Config, length=None) -> jax.Array:
     if length is not None:
         limited = limited * (jnp.arange(array.shape[0]) < length)[:, None]
 
-    # Reference early-out (hyrax.py:83-85): if nothing exceeds the threshold
-    # (within np.isclose tolerance) the input passes through untouched.
-    # (With a traced length the beyond-boundary envelope is exactly 1, so
-    # the all() reduction matches the true-length check.)
-    not_needed = jnp.all(jnp.abs(rectified - 1.0) <= 1e-8 + 1e-5 * 1.0)
     return jnp.where(not_needed, array, limited)

@@ -19,20 +19,26 @@ per-sample gain computation, so the stereo signal is mirrored by
 ``window//2`` samples on both ends *before* blocking — the kernel itself
 is edge-case-free and the result is exactly equal to
 ``basics.flip(1/basics.rectify(x)) -> sliding.sliding_max_attack`` for any
-length (validated in ``tests/test_pallas.py``, interpret mode).
+length (validated in ``tests/test_pallas.py``, interpret mode, and on chip
+by ``tools_pallas_verify.py``).
 
-Status on this environment's TPU backend: the axon AOT compiler charges a
-constant ~64 MB of scoped VMEM stack to this kernel (independent of input
-size — the shift-doubling maxima's unaligned lane-offset slices each force
-full-array relayout scratch) and rejects it against the 16 MB limit, so
-the kernel stays opt-in (``MATCHERING_TPU_PALLAS=1``) and the XLA ops
-carry the default path.  A lane-structured rewrite (sublane rolls +
-cross-lane carries on a (rows, 128) layout) is the known fix.
+Backend constraint (measured, r2): this environment's AOT pipeline
+stack-allocates every ``pallas_call`` *output* in scoped VMEM — a trivial
+copy kernel reproduces the 16 MB rejection at exactly its output size, and
+neither chunked grids, ``lax.map``, ``input_output_aliases`` nor
+``memory_space=pltpu.ANY`` outputs escape it (all probed on chip; the r1
+diagnosis blaming lane-shift slices was wrong).  The working lever is the
+libtpu flag ``--xla_tpu_scoped_vmem_limit_kib`` (via ``LIBTPU_INIT_ARGS``,
+set before backend init — ``utils.enable_pallas_vmem_headroom()``), which
+verifiably lifts the cap on chip.  :func:`fits_pallas` bounds the track
+length against that budget; the limiter falls back to the XLA ops beyond
+it.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -45,6 +51,29 @@ from ..utils import make_odd
 _BLOCK = 1 << 15
 _LANE = 128
 _ROWS = _BLOCK // _LANE  # output tile (rows, lanes) per grid step
+
+_DEFAULT_SCOPED_VMEM_KIB = 16 * 1024  # libtpu default
+
+
+def _scoped_vmem_budget_bytes() -> int:
+    """Scoped-VMEM limit the TPU compiler will apply, from
+    ``LIBTPU_INIT_ARGS`` (``utils.enable_pallas_vmem_headroom`` raises it)."""
+    args = os.environ.get("LIBTPU_INIT_ARGS", "")
+    for token in args.split():
+        if token.startswith("--xla_tpu_scoped_vmem_limit_kib="):
+            try:
+                return int(token.split("=", 1)[1]) * 1024
+            except ValueError:
+                pass
+    return _DEFAULT_SCOPED_VMEM_KIB * 1024
+
+
+def fits_pallas(n: int, itemsize: int = 4, margin_bytes: int = 8 << 20) -> bool:
+    """True when the kernel fits the scoped-VMEM budget.  Measured on chip:
+    the backend charges ~3x the kernel's output bytes (two length-n
+    outputs stack-resident plus one staging copy) — a 180 s 44.1 kHz track
+    (n=7.94M) showed 96.07 MB."""
+    return 3 * n * itemsize + margin_bytes <= _scoped_vmem_budget_bytes()
 
 
 def _sliding_start_max(x: jax.Array, window: int) -> jax.Array:
@@ -100,9 +129,6 @@ def limiter_front_end(
     m = stream.shape[0]
     nb = -(-m // _BLOCK)
     stream = jnp.pad(stream, ((0, nb * _BLOCK - m), (0, 0)))
-    # 3-D/2-D tiles: with flat 1-D outputs Mosaic stack-allocates the whole
-    # output array in VMEM (observed 64 MB scoped-vmem OOM); explicit
-    # (1, block) tiling keeps the working set to one block per grid step
     stream3 = stream.reshape(nb, _BLOCK, 2)
 
     grid_spec = pl.GridSpec(

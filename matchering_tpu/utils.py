@@ -57,3 +57,20 @@ def enable_compile_cache(path: str = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
+
+
+def enable_pallas_vmem_headroom(kib: int = 114688) -> None:
+    """Raise libtpu's scoped-VMEM limit so the fused Pallas limiter
+    front-end can compile (this backend stack-allocates every Pallas output
+    in scoped VMEM; the 16 MB default rejects full-track outputs — see
+    ``ops/pallas_envelope.py``).  Appends to ``LIBTPU_INIT_ARGS``, which
+    libtpu reads at backend initialization — call this (or set the env var)
+    BEFORE the first TPU computation or it has no effect.  112 MB leaves
+    16 MB of the v5e's 128 MB VMEM for the kernels' own tiles (measured
+    footprint for the envelope kernel: ~3x its output bytes).
+    """
+    args = os.environ.get("LIBTPU_INIT_ARGS", "")
+    if "--xla_tpu_scoped_vmem_limit_kib=" not in args:
+        os.environ["LIBTPU_INIT_ARGS"] = (
+            f"{args} --xla_tpu_scoped_vmem_limit_kib={kib}".strip()
+        )

@@ -69,3 +69,18 @@ def test_example_runs(wav_pair, tmp_path, monkeypatch, script, outputs):
         produced = out.format(p=prefix)
         assert os.path.exists(produced), produced
         assert os.path.getsize(produced) > 1000, produced
+
+
+def test_farm_example_runs(wav_pair, tmp_path, monkeypatch):
+    import matchering_tpu as mg
+
+    tgt, ref, _ = wav_pair
+    path = os.path.join(REPO, "examples", "tpu_mastering_farm.py")
+    monkeypatch.setattr(sys, "argv", [path, tgt, ref, tgt, ref, str(tmp_path)])
+    try:
+        runpy.run_path(path, run_name="__main__")
+    finally:
+        mg.log()
+    for i in range(2):
+        out = str(tmp_path / f"master_{i}.wav")
+        assert os.path.exists(out) and os.path.getsize(out) > 1000

@@ -91,6 +91,27 @@ def test_process_batch_matches_process(file_pairs, tmp_path, snr):
         assert os.path.exists(path) and os.path.getsize(path) > 1000
 
 
+def test_process_batch_on_mesh_pads_job_count(file_pairs, tmp_path, snr):
+    """3 jobs over an 8-row pairs mesh: the batch is transparently padded
+    to the mesh and every real job still gets its file."""
+    from matchering_tpu.parallel.mesh import single_axis_mesh
+
+    folder, pairs = file_pairs
+    cfg = mg.Config(dtype="float64")
+    jobs = [
+        mg.PairJob(
+            target=tp,
+            reference=rp,
+            results=[mg.pcm16(str(tmp_path / f"mesh{i}.wav"))],
+        )
+        for i, (tp, rp) in enumerate(pairs)
+    ]
+    mg.process_batch(jobs, cfg, mesh=single_axis_mesh("pairs"))
+    for i, (tp, rp) in enumerate(pairs):
+        out, sr = codecs.read(str(tmp_path / f"mesh{i}.wav"))
+        assert sr == 44100 and out.shape[0] > 0
+
+
 def test_process_batch_rejects_empty_and_outputless(tmp_path, file_pairs):
     _, pairs = file_pairs
     with pytest.raises(RuntimeError):
