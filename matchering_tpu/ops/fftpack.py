@@ -33,6 +33,12 @@ def irfft(spectrum: jax.Array, n: int, axis: int = -1) -> jax.Array:
     bins = n // 2 + 1
     s = spectrum[..., :bins]
     tail = jnp.conj(s[..., -2:0:-1])
+    # keep the reversed segment out of the pad/concat fusion: the TPU
+    # fusion emitter's ReverseInput transform CHECK-fails on the resulting
+    # window (pad_low == bins) when this graph is vmapped (observed crash:
+    # fusion_emitter.cc "window.pad_low[i] == 0 (65537 vs. 0)" compiling a
+    # B>=2 batched master; the barrier materializes `tail` instead)
+    tail = jax.lax.optimization_barrier(tail)
     full = jnp.concatenate([s, tail], axis=-1)
     out = jnp.real(jnp.fft.ifft(full, axis=-1)).astype(
         jnp.finfo(spectrum.dtype).dtype

@@ -33,6 +33,14 @@ set before backend init — ``utils.enable_pallas_vmem_headroom()``), which
 verifiably lifts the cap on chip.  :func:`fits_pallas` bounds the track
 length against that budget; the limiter falls back to the XLA ops beyond
 it.
+
+Why the kernel stays opt-in (measured on chip, ``PALLAS_BENCH.json``):
+with the headroom flag it compiles and runs bit-exactly (max err 0.0 vs
+the XLA ops), but at 63.2 ms warm vs 33.4 ms for the unfused XLA form on a
+180 s track — the forced scoped-VMEM residency of its outputs costs more
+than the fusion saves, and Pallas compiles are ~30x slower.  On this
+backend the XLA ops are simply the better program; the kernel remains the
+verified fusion template for backends with normal HBM output placement.
 """
 
 from __future__ import annotations
