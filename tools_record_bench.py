@@ -231,6 +231,11 @@ def bench_longform(jax, jnp, mg, minutes=60, sr=96000):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--longform", action="store_true")
+    parser.add_argument(
+        "--longform-only",
+        action="store_true",
+        help="run only the long-form bench and merge it into an existing --out",
+    )
     parser.add_argument("--out", default="BENCH_EXTRA_r02.json")
     parser.add_argument("--skip-sweep", action="store_true")
     args = parser.parse_args()
@@ -243,6 +248,20 @@ def main():
 
     enable_compile_cache()
     config = mg.Config()
+
+    if args.longform_only:
+        try:
+            with open(args.out) as f:
+                artifact = json.load(f)
+        except FileNotFoundError:
+            artifact = {"device": str(jax.devices()[0])}
+        artifact["longform_60min_96k"] = bench_longform(jax, jnp, mg)
+        print("longform:", artifact["longform_60min_96k"], flush=True)
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=2)
+            f.write("\n")
+        print(f"wrote {args.out}")
+        return
 
     artifact = {"device": str(jax.devices()[0])}
     artifact["single_pair_180s_44k"] = bench_single(jax, jnp, mg, config)
