@@ -7,12 +7,12 @@ mesh axis with ``NamedSharding`` and the whole batch runs as one jitted
 is limited only by input pipeline and per-chip throughput.
 
 Shape contract: one compiled executable per (batch_shape, config).  Pairs in
-a batch share the padded lengths (t_len, r_len); callers bucket tracks by
-length (``bucket_pad``) exactly like any production serving batcher.  Piece
-division inside the graph uses the *bucket* length; per-track true lengths
-are not carried (the reference analyzes the exact track length — for parity
-on a specific track use the single-pair path; the batch path is the
-throughput surface).
+a batch share the padded *bucket* shape (t_len, r_len); callers bucket tracks
+by length (``bucket_pad``) exactly like any production serving batcher.  True
+per-track lengths ride along as traced ``(B,)`` arrays: piece division,
+analysis windows and the limiter boundary all use each track's exact length,
+so batch entry i reproduces the single-pair master of unpadded pair i (the
+reference analyzes the exact track length — ``match_levels.py:47-59``).
 """
 
 from __future__ import annotations

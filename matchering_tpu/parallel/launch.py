@@ -17,7 +17,7 @@ Usage, one process per host::
     out = launch.master_batch_distributed(local_targets, local_references,
                                           t_lens, r_lens, config, mesh)
     # each process encodes the pairs it owns:
-    for shard_index, result in launch.local_results(out.result, mesh):
+    for shard_index, result in launch.local_results(out.result):
         ...
 
 On TPU pods, ``initialize()`` with no arguments picks the cluster topology
