@@ -45,8 +45,9 @@ def process_batch(
     config: Config = Config(),
     mesh=None,
     bucket_multiple: int = 1 << 18,
+    dispatch: str = "auto",
 ) -> None:
-    """Master every job in one device dispatch.
+    """Master every job in one bucketed batch.
 
     All jobs share one padded bucket per role (pad to the longest track,
     rounded up to ``bucket_multiple``) and therefore one compiled
@@ -54,8 +55,22 @@ def process_batch(
     similar duration so padding stays bounded.  ``mesh`` (optional, with a
     ``pairs`` axis — ``parallel.make_mesh``) shards the batch across
     devices.
+
+    ``dispatch`` picks the device-dispatch strategy: ``"pipelined"``
+    enqueues every pair as an independent program (fastest on one device —
+    measured 2.1x the vmapped batch, see ``parallel.batch.master_pairs``),
+    ``"vmapped"`` runs one batched program (required with a ``mesh``, whose
+    pairs axis shards the batch dimension).  ``"auto"`` = pipelined on a
+    single device, vmapped under a mesh.
     """
-    from .parallel.batch import bucket_pad, master_batch
+    from .parallel.batch import bucket_pad, master_batch, master_pairs
+
+    if dispatch == "auto":
+        dispatch = "vmapped" if mesh is not None else "pipelined"
+    if dispatch not in ("vmapped", "pipelined"):
+        raise ValueError(f"unknown dispatch strategy '{dispatch}'")
+    if dispatch == "pipelined" and mesh is not None:
+        raise ValueError("pipelined dispatch is single-device — drop mesh")
 
     jobs = list(jobs)
     if not jobs:
@@ -98,10 +113,8 @@ def process_batch(
         rows = mesh.shape["pairs"]
         short = -len(jobs) % rows
         if short:
-            import numpy as _np
-
-            t_batch = _np.concatenate([t_batch, _np.repeat(t_batch[-1:], short, 0)])
-            r_batch = _np.concatenate([r_batch, _np.repeat(r_batch[-1:], short, 0)])
+            t_batch = np.concatenate([t_batch, np.repeat(t_batch[-1:], short, 0)])
+            r_batch = np.concatenate([r_batch, np.repeat(r_batch[-1:], short, 0)])
             t_lens = list(t_lens) + [t_lens[-1]] * short
             r_lens = list(r_lens) + [r_lens[-1]] * short
     debug(
@@ -109,22 +122,40 @@ def process_batch(
         f"(true lengths {t_lens} / {r_lens})"
     )
 
-    out = master_batch(
-        t_batch,
-        r_batch,
-        config,
-        mesh=mesh,
-        need_default="limited" in wanted,
-        need_no_limiter="raw" in wanted,
-        need_no_limiter_normalized="normalized" in wanted,
-        target_lengths=t_lens,
-        reference_lengths=r_lens,
-    )
-    variants = {
-        "limited": out.result,
-        "raw": out.result_no_limiter,
-        "normalized": out.result_no_limiter_normalized,
-    }
+    if dispatch == "pipelined":
+        outs = master_pairs(
+            list(t_batch),
+            list(r_batch),
+            config,
+            need_default="limited" in wanted,
+            need_no_limiter="raw" in wanted,
+            need_no_limiter_normalized="normalized" in wanted,
+            target_lengths=t_lens,
+            reference_lengths=r_lens,
+        )
+        variants = {
+            "limited": [o.result for o in outs],
+            "raw": [o.result_no_limiter for o in outs],
+            "normalized": [o.result_no_limiter_normalized for o in outs],
+        }
+        variants = {k: (None if v[0] is None else v) for k, v in variants.items()}
+    else:
+        out = master_batch(
+            t_batch,
+            r_batch,
+            config,
+            mesh=mesh,
+            need_default="limited" in wanted,
+            need_no_limiter="raw" in wanted,
+            need_no_limiter_normalized="normalized" in wanted,
+            target_lengths=t_lens,
+            reference_lengths=r_lens,
+        )
+        variants = {
+            "limited": out.result,
+            "raw": out.result_no_limiter,
+            "normalized": out.result_no_limiter_normalized,
+        }
 
     debug_line()
     info(Code.INFO_EXPORTING)
@@ -136,16 +167,24 @@ def process_batch(
                 raise ModuleError(Code.ERROR_VALIDATION)
             save(
                 result.file,
-                np.asarray(rendered[i, :length]),
+                np.asarray(rendered[i][:length]),
                 config.internal_sample_rate,
                 result.subtype,
             )
         if job.preview_target or job.preview_result:
-            for key in ("limited", "raw", "normalized"):
+            # the preview source is the first variant THIS job rendered
+            # (reference ``core.py:111-118`` — the batch-wide union may
+            # include variants the job never asked for); preview-only jobs
+            # fall back to any rendered variant in the same priority order
+            job_wanted = {_variant_key(r) for r in job.results}
+            order = [
+                k for k in ("limited", "raw", "normalized") if k in job_wanted
+            ] or ["limited", "raw", "normalized"]
+            for key in order:
                 if variants[key] is not None:
                     create_preview(
                         targets[i],
-                        np.asarray(variants[key][i, :length]),
+                        np.asarray(variants[key][i][:length]),
                         config,
                         job.preview_target,
                         job.preview_result,

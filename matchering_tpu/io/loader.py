@@ -62,6 +62,11 @@ def _decode_via_ffmpeg(file: str, role: str, temp_folder: str):
         return None
     try:
         decoded = codecs.read(staging)
+    except (RuntimeError, OSError) as error:
+        # ffmpeg produced a WAV flavor our codecs cannot parse — stay inside
+        # the decode-chain contract (coded ModuleError, not a raw exception)
+        debug(error)
+        return None
     finally:
         if os.path.exists(staging):
             os.remove(staging)

@@ -176,8 +176,10 @@ def read_flac(path: str) -> Tuple[np.ndarray, int]:
     # hence the generous factor); otherwise decode with a growing buffer.
     claimed = frames.value
     file_bytes = os.path.getsize(path)
-    plausible = 0 < claimed and (
-        claimed * channels.value * 8 <= 1 << 30 or claimed <= file_bytes * 1000
+    plausible = (
+        0 < claimed
+        and claimed <= file_bytes * 1000
+        and claimed * channels.value * 8 <= 1 << 34
     )
     if plausible:
         out, n = _decode(claimed)

@@ -140,27 +140,26 @@ def scan_first_order(drive: jax.Array, pole) -> jax.Array:
         megas = padded.reshape(nmega, rows, block)
         import numpy as _np
 
+        # pole^(r*block + c+1) for the carry broadcast, as a runtime outer
+        # product row[r] * powers[c] of two small vectors: a host-built
+        # (rows, block) matrix would embed a multi-MB dense literal in the
+        # HLO per filter pass — six of them made the 60-min program 200+ MB
+        # of constants (minutes of serialization, and over the remote
+        # compile service's request size limit).  The extra f32 multiply
+        # costs ~1 ulp on coefficients, far below the scan's own error.
         if isinstance(pole, (int, float)):
-            mega_pows64 = _np.float64(pole) ** (
-                _np.arange(1, rows + 1)[:, None] * 0
-                + _np.arange(1, block + 1)[None, :]
-                + (_np.arange(rows)[:, None] * block)
-            )
-            mega_powers = jnp.asarray(mega_pows64, dtype=dtype)  # (rows, block)
+            row64 = _np.float64(pole) ** (block * _np.arange(rows, dtype=_np.float64))
+            row_powers = jnp.asarray(row64, dtype=dtype)  # (rows,)
             a_mega = jnp.asarray(_np.float64(pole) ** mega, dtype=dtype)
         else:
-            mega_powers = (
-                jnp.asarray(pole, dtype=dtype)
-                ** (
-                    jnp.arange(1, block + 1, dtype=dtype)[None, :]
-                    + (jnp.arange(rows, dtype=dtype) * block)[:, None]
-                )
+            row_powers = jnp.asarray(pole, dtype=dtype) ** (
+                jnp.arange(rows, dtype=dtype) * block
             )
             a_mega = jnp.asarray(pole, dtype=dtype) ** mega
 
         def step(carry, drive_mega):
             y0 = _two_level_zero_state(drive_mega, pole, powers, a_block, dtype)
-            y = y0 + mega_powers * carry
+            y = y0 + (row_powers * carry)[:, None] * powers[None, :]
             return a_mega * carry + y0[-1, -1], y
 
         _, ys = jax.lax.scan(step, jnp.zeros((), dtype), megas)
@@ -250,6 +249,27 @@ def _ds_const(value_f64, dtype, shape=()):
     return h, l
 
 
+def ds_pole_powers(pole: float, n: int, dtype):
+    """``pole**(1..n)`` as a runtime ds pair (hi, lo).
+
+    Built as an outer product of two <= ``_SCAN_BLOCK``-sized host vectors
+    evaluated on device: a direct length-``n`` host array would embed O(n)
+    dense literals in the HLO (a 345M-sample shard put 4x full-length
+    constants = gigabytes of program text into the sharded limiter).
+    ``_ds_mul`` of the two ~eps32^2-accurate pairs keeps ~double precision.
+    """
+    import numpy as _np
+
+    block = min(n, _SCAN_BLOCK)
+    rows = -(-n // block)
+    col64 = _np.float64(pole) ** _np.arange(1, block + 1)
+    row64 = _np.float64(pole) ** (block * _np.arange(rows, dtype=_np.float64))
+    ch, cl = _ds_const(col64, dtype, (block,))
+    rh, rl = _ds_const(row64, dtype, (rows,))
+    mh, ml = _ds_mul((rh[:, None], rl[:, None]), (ch[None, :], cl[None, :]))
+    return mh.reshape(-1)[:n], ml.reshape(-1)[:n]
+
+
 def _ds_scan_zero_state(drive_hi, drive_lo, pole_hi, pole_lo):
     """associative_scan of the ds affine maps along the last axis."""
     shape = drive_hi.shape
@@ -319,11 +339,18 @@ def scan_first_order_ds(drive_hi: jax.Array, drive_lo: jax.Array, pole: float):
         mh = jnp.pad(drive_hi, (0, pad)).reshape(nmega, rows, block)
         ml = jnp.pad(drive_lo, (0, pad)).reshape(nmega, rows, block)
 
-        # pole^(r*block + c) for the carry broadcast, as a ds pair
-        mega_pows64 = _np.float64(pole) ** (
-            _np.arange(1, block + 1)[None, :] + (_np.arange(rows) * block)[:, None]
+        # pole^(r*block + c+1) for the carry broadcast, as a ds outer
+        # product of two small ds vectors evaluated at runtime (a host
+        # (rows, block) matrix would embed two multi-MB dense literals per
+        # filter in the HLO — see scan_first_order).  _ds_mul of two
+        # ~eps32^2-accurate pairs keeps ~double precision.
+        col64 = _np.float64(pole) ** _np.arange(1, block + 1)
+        row64 = _np.float64(pole) ** (block * _np.arange(rows, dtype=_np.float64))
+        pcol_h, pcol_l = _ds_const(col64, dtype, (block,))
+        prow_h, prow_l = _ds_const(row64, dtype, (rows,))
+        mp_h, mp_l = _ds_mul(
+            (prow_h[:, None], prow_l[:, None]), (pcol_h[None, :], pcol_l[None, :])
         )
-        mp_h, mp_l = _ds_const(mega_pows64, dtype, (rows, block))
         am_h, am_l = _ds_const(_np.float64(pole) ** mega, dtype)
 
         def step(carry, drives):

@@ -21,7 +21,7 @@ The reference is a single numpy process with no parallelism of any kind
 """
 
 from . import batch, launch, mesh, timeshard
-from .batch import master_batch
+from .batch import master_batch, master_pairs
 from .launch import global_mesh, initialize, master_batch_distributed
 from .mesh import make_mesh
 from .timeshard import master_sharded
@@ -34,6 +34,7 @@ __all__ = [
     "make_mesh",
     "master_batch",
     "master_batch_distributed",
+    "master_pairs",
     "master_sharded",
     "mesh",
     "timeshard",

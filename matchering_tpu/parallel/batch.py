@@ -71,6 +71,99 @@ def _master_vmapped(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config",
+        "need_default",
+        "need_no_limiter",
+        "need_no_limiter_normalized",
+    ),
+)
+def _master_single(
+    target: jax.Array,
+    reference: jax.Array,
+    target_length,
+    reference_length,
+    interp_ops,
+    config: Config,
+    need_default: bool,
+    need_no_limiter: bool,
+    need_no_limiter_normalized: bool,
+) -> MasterOutput:
+    return master_graph(
+        target,
+        reference,
+        config,
+        need_default=need_default,
+        need_no_limiter=need_no_limiter,
+        need_no_limiter_normalized=need_no_limiter_normalized,
+        interp_ops=interp_ops,
+        target_length=target_length,
+        reference_length=reference_length,
+    )
+
+
+def master_pairs(
+    targets: Sequence,
+    references: Sequence,
+    config: Config = Config(),
+    need_default: bool = True,
+    need_no_limiter: bool = False,
+    need_no_limiter_normalized: bool = False,
+    target_lengths: Optional[Sequence[int]] = None,
+    reference_lengths: Optional[Sequence[int]] = None,
+) -> List[MasterOutput]:
+    """Master same-bucket pairs as *pipelined independent dispatches* on one
+    device: every pair is enqueued before any result is fetched, so the
+    dispatch round-trip overlaps device compute.
+
+    On the single-chip serving path this beats one big vmapped program —
+    measured 28.0 pairs/s vs 13.1 at B=8 on a 3-min bucket
+    (``BENCH_EXTRA_r02.json``): the batched program serializes its stages
+    across the whole batch while independent programs keep the chip busy
+    back-to-back.  The vmapped path (:func:`master_batch`) remains the
+    multi-chip surface — its batch axis is what shards over the ``pairs``
+    mesh axis.
+
+    All pairs must share one padded bucket shape per role (one compiled
+    executable — true lengths ride as traced scalars).  Returns one
+    ``MasterOutput`` per pair, in order; outputs stay on device until
+    consumed.
+    """
+    if len(targets) != len(references):
+        raise ValueError("targets and references differ in count")
+    if (target_lengths is None) != (reference_lengths is None):
+        raise ValueError("pass both target_lengths and reference_lengths, or neither")
+    if target_lengths is None:
+        target_lengths = [t.shape[0] for t in targets]
+        reference_lengths = [r.shape[0] for r in references]
+    from ..ops import smoothing
+
+    interp_ops = smoothing.interpolation_operator_arrays(
+        config.internal_sample_rate,
+        config.fft_size,
+        config.lin_log_oversampling,
+        jnp.dtype(config.dtype),
+    )
+    return [
+        _master_single(
+            jnp.asarray(t),
+            jnp.asarray(r),
+            jnp.int32(tl),
+            jnp.int32(rl),
+            interp_ops,
+            config,
+            need_default,
+            need_no_limiter,
+            need_no_limiter_normalized,
+        )
+        for t, r, tl, rl in zip(
+            targets, references, target_lengths, reference_lengths
+        )
+    ]
+
+
 def master_batch(
     targets: jax.Array,
     references: jax.Array,

@@ -92,6 +92,13 @@ def global_mesh(pairs: Optional[int] = None, time: int = 1):
             f"time={time} exceeds {local} local devices — the time axis "
             "must stay within one host (ICI)"
         )
+    if local % time:
+        raise ValueError(
+            f"time={time} does not divide the {local} local devices — a "
+            "pairs row would straddle two hosts, putting time-axis halo "
+            "exchange on DCN and breaking the process-major row ownership "
+            "that local_pair_slice relies on"
+        )
     grid = np.asarray(devices).reshape(pairs, time)
     return Mesh(grid, axis_names=("pairs", "time"))
 
@@ -298,7 +305,13 @@ def run_selftest(num_processes: int = 2, devices_per_process: int = 2) -> None:
         )
         for i in range(num_processes)
     ]
-    codes = [w.wait(timeout=600) for w in workers]
+    try:
+        codes = [w.wait(timeout=600) for w in workers]
+    except subprocess.TimeoutExpired:
+        for w in workers:
+            if w.poll() is None:
+                w.kill()
+        raise SystemExit("selftest timed out — killed remaining workers")
     if any(codes):
         raise SystemExit(f"selftest worker exit codes: {codes}")
     print(f"multi-host selftest passed ({num_processes} processes)")

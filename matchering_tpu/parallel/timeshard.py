@@ -221,8 +221,9 @@ def _carried_scan_ds(
     carry, _ = jax.lax.scan(compose, start, masked)
     u_in = (carry[2], carry[3])
 
-    powers64 = _np.float64(pole) ** _np.arange(1, n_local + 1)
-    pw = iir._ds_const(powers64, dtype, (n_local,))
+    # runtime outer-product construction — a host length-n_local array here
+    # embedded two full-shard-length dense literals per filter in the HLO
+    pw = iir.ds_pole_powers(pole, n_local, dtype)
     corr = iir._ds_mul(pw, (jnp.broadcast_to(u_in[0], (n_local,)),
                             jnp.broadcast_to(u_in[1], (n_local,))))
     y_h, y_l = iir._ds_add((local_h, local_l), corr)
@@ -560,9 +561,10 @@ def _attack_tail_patch_sharded(
     d = jax.lax.axis_index(axis)
     gidx = d * block + jnp.arange(block)
     rel = gidx - (length - right)
-    patched = jnp.zeros_like(slided)
-    for k in range(right):
-        patched = jnp.where(rel == k, corrected[k], patched)
+    # in-patch positions have 0 <= rel < right (gidx < length bounds it), so
+    # a clipped gather from the `right`-entry table covers them in one op
+    # (vs `right` unrolled selects — graph size scaled with the attack time)
+    patched = corrected[jnp.clip(rel, 0, right - 1)]
     return jnp.where((rel >= 0) & (gidx < length), patched, slided)
 
 

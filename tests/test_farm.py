@@ -118,3 +118,36 @@ def test_process_batch_rejects_empty_and_outputless(tmp_path, file_pairs):
         mg.process_batch([])
     with pytest.raises(RuntimeError):
         mg.process_batch([mg.PairJob(target=pairs[0][0], reference=pairs[0][1])])
+
+
+def test_dispatch_strategies_agree(file_pairs, tmp_path, snr):
+    """Explicit dispatch="vmapped" (no mesh) and the pipelined default
+    produce the same mastered files; bogus strategies are rejected."""
+    folder, pairs = file_pairs
+    cfg = mg.Config(dtype="float64")
+
+    def run(tag, **kw):
+        jobs = [
+            mg.PairJob(
+                target=tp,
+                reference=rp,
+                results=[mg.pcm16(str(tmp_path / f"{tag}{i}.wav"))],
+            )
+            for i, (tp, rp) in enumerate(pairs)
+        ]
+        mg.process_batch(jobs, cfg, **kw)
+
+    run("pipe", dispatch="pipelined")
+    run("vmap", dispatch="vmapped")
+    for i in range(len(pairs)):
+        a, _ = codecs.read(str(tmp_path / f"pipe{i}.wav"))
+        b, _ = codecs.read(str(tmp_path / f"vmap{i}.wav"))
+        assert a.shape == b.shape
+        assert snr(a, b) > 120.0, (i, snr(a, b))
+
+    with pytest.raises(ValueError):
+        run("bad", dispatch="sideways")
+    with pytest.raises(ValueError):
+        from matchering_tpu.parallel.mesh import single_axis_mesh
+
+        run("badmesh", dispatch="pipelined", mesh=single_axis_mesh("pairs"))

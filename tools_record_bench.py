@@ -183,9 +183,15 @@ def bench_stages(jax, jnp, mg, config, seconds=180, sr=44100):
     return timings
 
 
-def bench_longform(jax, jnp, mg, minutes=60, sr=96000):
-    from matchering_tpu.parallel import timeshard
+def bench_longform(jax, jnp, mg, minutes=60, sr=96000, ref_seconds=180):
+    """60-min 96 kHz single-chip long-form master (the memory-lean flagship
+    path: donation + chunked conv + hierarchical sequential scan).
 
+    The reference track is a realistic 3-minute master, not another hour of
+    audio (analysis only needs the reference's loudest pieces).  ``master``
+    donates its input buffers, so the warm run re-stages the target — the
+    staging cost is timed separately from compute (the tunnel H2D path here
+    is ~8 MB/s and a production input pipeline overlaps it)."""
     config = mg.Config(internal_sample_rate=sr, max_length=2 * 3600)
     seconds = minutes * 60
     n = seconds * sr
@@ -196,32 +202,48 @@ def bench_longform(jax, jnp, mg, minutes=60, sr=96000):
     del t
     target = np.stack([env * 0.4] * 2, axis=1)
     target += (0.05 * rng.randn(n, 2)).astype(np.float32)
-    reference = np.stack([env * 0.7] * 2, axis=1)
-    reference += (0.05 * rng.randn(n, 2)).astype(np.float32)
     del env
+    n_ref = ref_seconds * sr
+    t_ref = np.arange(n_ref) / sr
+    reference = np.stack(
+        [(0.7 * np.sign(np.sin(2 * np.pi * 98 * t_ref))).astype(np.float32)] * 2,
+        axis=1,
+    )
+    reference += (0.05 * rng.randn(n_ref, 2)).astype(np.float32)
+    del t_ref
 
-    stage0 = time.perf_counter()
-    t_dev = jax.device_put(target)
-    r_dev = jax.device_put(reference)
-    # force the transfers to finish via tiny checksums
-    float(jax.jit(lambda a: jnp.sum(a[:: 1 << 20]))(t_dev))
-    float(jax.jit(lambda a: jnp.sum(a[:: 1 << 20]))(r_dev))
-    h2d_s = time.perf_counter() - stage0
+    def stage(arr):
+        t0 = time.perf_counter()
+        dev = jax.device_put(arr)
+        float(jax.jit(lambda a: jnp.sum(a[:: 1 << 20]))(dev))  # sync
+        return dev, time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    out = timeshard.master_sharded(t_dev, r_dev, config, need_default=True)
-    checksum = float(jax.jit(lambda a: jnp.sum(jnp.abs(a[:: 1 << 10])))(out.result))
-    compile_and_run_s = time.perf_counter() - t0
+    t_dev, h2d_t = stage(target)
+    r_dev, h2d_r = stage(reference)
 
-    t0 = time.perf_counter()
-    out = timeshard.master_sharded(t_dev, r_dev, config, need_default=True)
-    checksum = float(jax.jit(lambda a: jnp.sum(jnp.abs(a[:: 1 << 10])))(out.result))
-    warm_s = time.perf_counter() - t0
+    def run(t_in, r_in):
+        t0 = time.perf_counter()
+        out = mg.master(t_in, r_in, config, need_default=True)
+        checksum = float(
+            jax.jit(lambda a: jnp.sum(jnp.abs(a[:: 1 << 10])))(out.result)
+        )
+        dt = time.perf_counter() - t0
+        del out
+        return checksum, dt
+
+    checksum, first_s = run(t_dev, r_dev)  # donation consumed t_dev/r_dev
+    # distinct warm-run input (x1.01) so no layer of the tunneled backend
+    # can memoize the identical computation
+    np.multiply(target, 1.01, out=target)
+    t_dev, h2d_t2 = stage(target)
+    r_dev, _ = stage(reference)
+    checksum, warm_s = run(t_dev, r_dev)
     return {
         "minutes_audio": minutes,
         "sample_rate": sr,
-        "h2d_staging_s": round(h2d_s, 1),
-        "first_run_s": round(compile_and_run_s, 1),
+        "reference_seconds": ref_seconds,
+        "h2d_staging_s": round(h2d_t + h2d_r, 1),
+        "first_run_s": round(first_s, 1),
         "warm_run_s": round(warm_s, 1),
         "realtime_factor_warm": round(seconds / warm_s, 1),
         "checksum": checksum,
