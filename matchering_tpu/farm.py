@@ -140,17 +140,34 @@ def process_batch(
         }
         variants = {k: (None if v[0] is None else v) for k, v in variants.items()}
     else:
-        out = master_batch(
-            t_batch,
-            r_batch,
-            config,
-            mesh=mesh,
-            need_default="limited" in wanted,
-            need_no_limiter="raw" in wanted,
-            need_no_limiter_normalized="normalized" in wanted,
-            target_lengths=t_lens,
-            reference_lengths=r_lens,
-        )
+        if mesh is not None and mesh.shape.get("time", 1) > 1:
+            # 2-D (pairs, time) mesh: the pod-scale farm — data parallel
+            # over pairs, sequence parallel over time blocks
+            from .parallel.timeshard import master_farm
+
+            out = master_farm(
+                t_batch,
+                r_batch,
+                config,
+                mesh=mesh,
+                need_default="limited" in wanted,
+                need_no_limiter="raw" in wanted,
+                need_no_limiter_normalized="normalized" in wanted,
+                target_lengths=t_lens,
+                reference_lengths=r_lens,
+            )
+        else:
+            out = master_batch(
+                t_batch,
+                r_batch,
+                config,
+                mesh=mesh,
+                need_default="limited" in wanted,
+                need_no_limiter="raw" in wanted,
+                need_no_limiter_normalized="normalized" in wanted,
+                target_lengths=t_lens,
+                reference_lengths=r_lens,
+            )
         variants = {
             "limited": out.result,
             "raw": out.result_no_limiter,

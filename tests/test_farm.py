@@ -151,3 +151,30 @@ def test_dispatch_strategies_agree(file_pairs, tmp_path, snr):
         from matchering_tpu.parallel.mesh import single_axis_mesh
 
         run("badmesh", dispatch="pipelined", mesh=single_axis_mesh("pairs"))
+
+
+def test_process_batch_on_2d_farm_mesh(file_pairs, tmp_path, snr):
+    """A (pairs=2, time=4) mesh routes through the 2-D master_farm: jobs
+    are padded to the pairs rows, time-sharded inside, and every job's
+    file still matches the single-pair master."""
+    from matchering_tpu.parallel.mesh import make_mesh
+
+    folder, pairs = file_pairs
+    cfg = mg.Config(dtype="float64")
+    jobs = [
+        mg.PairJob(
+            target=tp,
+            reference=rp,
+            results=[mg.pcm16(str(tmp_path / f"farm2d{i}.wav"))],
+        )
+        for i, (tp, rp) in enumerate(pairs)
+    ]
+    mg.process_batch(jobs, cfg, mesh=make_mesh(pairs=2, time=4))
+    for i, (tp, rp) in enumerate(pairs):
+        single = str(tmp_path / f"farm2d_single{i}.wav")
+        mg.process(tp, rp, [mg.pcm16(single)], cfg)
+        got, gsr = codecs.read(str(tmp_path / f"farm2d{i}.wav"))
+        want, wsr = codecs.read(single)
+        assert gsr == wsr and got.shape == want.shape
+        measured = snr(want, got)
+        assert measured > 80.0, (i, measured)
