@@ -6,8 +6,10 @@ No reference equivalent (the reference is single-process CPU).  Two levels
 of API:
 
 1. ``mg.process_batch`` — the file-to-file driver: decodes, conditions,
-   bucket-pads, masters every pair in ONE device dispatch (each track
-   analyzed and limited at its true length), trims, encodes.
+   bucket-pads, masters every pair (each track analyzed and limited at its
+   true length), trims, encodes.  On one device the pairs run as pipelined
+   independent programs (fastest — ``dispatch="pipelined"``); under a mesh
+   one batched program shards over the ``pairs`` axis.
 2. The raw array path below it (``parallel.master_farm``) for callers that
    manage their own I/O: a 2-D ``(pairs, time)`` mesh shards independent
    pairs across the outer (DCN at pod scale) axis and each pair's time
