@@ -303,3 +303,20 @@ class TestFlatAnalysisOps:
             assert got.dtype == np.float32
             measured = snr(expected, got)
             assert measured > 100.0, (cutoff, measured)
+
+
+def test_ds_pole_powers_matches_float64():
+    """The runtime outer-product ds pole powers (the HLO-literal fix) match
+    direct float64 exponentiation to ~double precision."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from matchering_tpu.ops import iir
+
+    pole = 0.9999623444444  # the limiter release regime
+    for n in (1000, 40000, 100000):
+        hi, lo = iir.ds_pole_powers(pole, n, jnp.float32)
+        got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        want = np.float64(pole) ** np.arange(1, n + 1)
+        rel = np.abs(got - want) / want
+        assert rel.max() < 1e-12, (n, rel.max())
