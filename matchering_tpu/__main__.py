@@ -51,6 +51,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="shard the track's time axis across all local devices",
     )
+    parser.add_argument(
+        "--length_bucketing",
+        type=int,
+        metavar="N",
+        help="pad tracks to a multiple of N samples and analyze at the true "
+        "length, so one compiled program serves every track in a bucket",
+    )
     parser.add_argument("-q", "--quiet", action="store_true", help="silence output")
     parser.add_argument(
         "--debug", action="store_true", help="print debug diagnostics too"
@@ -90,7 +97,7 @@ def main(argv=None) -> int:
         from .parallel import timeshard
         from .utils import get_temp_folder
 
-        config = mg.Config()
+        config = mg.Config(length_bucketing=args.length_bucketing)
         temp_folder = config.temp_folder or get_temp_folder([result])
         target_track = mg.check(
             *load(args.target, "target", temp_folder), config, "target"
@@ -127,6 +134,7 @@ def main(argv=None) -> int:
             target=args.target,
             reference=args.reference,
             results=[result],
+            config=mg.Config(length_bucketing=args.length_bucketing),
             preview_target=preview_target,
             preview_result=preview_result,
         )

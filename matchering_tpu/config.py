@@ -15,6 +15,12 @@ TPU-specific additions (not present in the reference):
 * ``lowess_exact`` — compute LOWESS at every grid point instead of the
   reference's ``delta``-skipping approximation (both are precomputed into the
   same linear smoothing operator, see ``ops/smoothing.py``).
+* ``length_bucketing`` — pad tracks up to a multiple of this many samples
+  and analyze/limit at the true length (the farm machinery's dynamic-length
+  graph).  One compiled executable then serves every track in a bucket —
+  without it each distinct track length compiles its own program, which on
+  a remote-compile TPU backend costs minutes per new length.  ``None``
+  (default) keeps the reference-exact static-shape graph.
 """
 
 from __future__ import annotations
@@ -97,6 +103,7 @@ class Config:
     # --- TPU-native additions ---
     dtype: str = "float32"
     lowess_exact: bool = False
+    length_bucketing: Optional[int] = None
 
     def __post_init__(self):
         _require(
@@ -196,6 +203,14 @@ class Config:
             "dtype: float32|float64 (float64 is CPU-only, for oracle parity "
             "testing; bfloat16 is not offered — XLA's RFFT requires float32+ "
             "and the 8-bit mantissa is far below audio quality)",
+        )
+        _require(
+            self.length_bucketing is None
+            or (
+                isinstance(self.length_bucketing, int)
+                and self.length_bucketing >= self.fft_size
+            ),
+            "length_bucketing must be None or an int >= fft_size",
         )
 
     # Derived quantities -------------------------------------------------

@@ -30,6 +30,11 @@ Correctness contract: ``master_sharded`` == single-device ``master_graph``
 on the same input (bit-level up to float reassociation when the length is
 divisible by the shard count; SNR > 120 dB with zero padding otherwise),
 validated on a virtual 8-device CPU mesh in ``tests/test_timeshard.py``.
+
+Memory: a shard's working set is a few copies of its local signal (~21 GB
+for a 60-min 96 kHz track as one shard, measured) — time-sharded long-form
+wants >=2 chips; single-chip long-form should use ``stages.master``, whose
+donation + chunked modes fit the same track on 16 GB.  See SCALING.md.
 """
 
 from __future__ import annotations
@@ -44,7 +49,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import Config
-from ..ops import basics, fftpack, fir as fir_ops, iir, smoothing
+from ..ops import basics, fir as fir_ops, iir, smoothing
 from ..stages import MasterOutput, piece_division
 from ..utils import make_odd, ms_to_samples
 
@@ -85,14 +90,6 @@ def _bcast_from(value: jax.Array, source: int, axis: str) -> jax.Array:
 # Overlap-save convolution, sharded
 
 
-def _fft_convolve_full(x: jax.Array, h: jax.Array) -> jax.Array:
-    """Full linear convolution via one zero-padded rFFT."""
-    n = x.shape[0] + h.shape[0] - 1
-    nfft = 1 << (n - 1).bit_length()
-    spec = jnp.fft.rfft(x, n=nfft) * jnp.fft.rfft(h, n=nfft)
-    return fftpack.irfft(spec, n=nfft)[:n]
-
-
 def convolve_same_sharded(x_local: jax.Array, h: jax.Array, axis: str) -> jax.Array:
     """Sharded 1-D ``fftconvolve(x, h, "same")``
     (reference op: ``match_frequencies.py:112-113``)."""
@@ -107,8 +104,15 @@ def convolve_same_sharded(x_local: jax.Array, h: jax.Array, axis: str) -> jax.Ar
     if right:
         parts.append(_halo_from_right(x_local, right, axis))
     z = jnp.concatenate(parts)
-    full = _fft_convolve_full(z, h)
-    return jax.lax.dynamic_slice(full, (taps - 1,), (x_local.shape[0],))
+    # local convolution through the overlap-save block path: one giant
+    # zero-padded FFT (2^30 points for a 60-min shard) peaks at many
+    # full-length temps (43 GB observed) where the blocked form stays
+    # bounded; "same" on the halo-extended z contains the full-conv window
+    # we need at offset `left`
+    from ..ops.convolve import fft_convolve_same
+
+    same = fft_convolve_same(z, h)
+    return jax.lax.dynamic_slice(same, (left,), (x_local.shape[0],))
 
 
 # ---------------------------------------------------------------------------

@@ -319,10 +319,15 @@ def master(
     need_default: bool = True,
     need_no_limiter: bool = False,
     need_no_limiter_normalized: bool = False,
+    target_length=None,
+    reference_length=None,
 ) -> MasterOutput:
     """Jitted mastering graph with the smoothing interpolation operators
     threaded as runtime arguments (keeps 134 MB of matrices out of the HLO
-    constant pool — a large TPU compile-time win)."""
+    constant pool — a large TPU compile-time win).
+
+    ``target_length`` / ``reference_length`` (optional, traced scalars):
+    true track lengths of bucket-padded inputs — see ``master_graph``."""
     from .ops import smoothing
 
     interp_ops = smoothing.interpolation_operator_arrays(
@@ -339,6 +344,8 @@ def master(
         need_no_limiter=need_no_limiter,
         need_no_limiter_normalized=need_no_limiter_normalized,
         interp_ops=interp_ops,
+        target_length=target_length,
+        reference_length=reference_length,
     )
 
 
@@ -366,14 +373,50 @@ def main(
     info(Code.INFO_MATCHING_LEVELS)
     info(Code.INFO_MATCHING_FREQS)
     info(Code.INFO_CORRECTING_LEVELS)
-    out = master(
-        target,
-        reference,
-        config,
-        need_default=need_default,
-        need_no_limiter=need_no_limiter,
-        need_no_limiter_normalized=need_no_limiter_normalized,
-    )
+    bucket = config.length_bucketing
+    if bucket:
+        # pad both tracks up to the bucket grid and analyze/limit at the
+        # true lengths: every track in a bucket shares one compiled
+        # executable (the farm machinery's dynamic-length graph)
+        import numpy as np
+
+        t = np.asarray(target)
+        r = np.asarray(reference)
+        t_len, r_len = t.shape[0], r.shape[0]
+
+        def pad(x):
+            n_pad = -(-x.shape[0] // bucket) * bucket
+            return np.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
+
+        out = master(
+            pad(t),
+            pad(r),
+            config,
+            need_default=need_default,
+            need_no_limiter=need_no_limiter,
+            need_no_limiter_normalized=need_no_limiter_normalized,
+            target_length=jnp.int32(t_len),
+            reference_length=jnp.int32(r_len),
+        )
+
+        def trim(x):
+            return None if x is None else x[:t_len]
+
+        out = MasterOutput(
+            result=trim(out.result),
+            result_no_limiter=trim(out.result_no_limiter),
+            result_no_limiter_normalized=trim(out.result_no_limiter_normalized),
+            report=out.report,
+        )
+    else:
+        out = master(
+            target,
+            reference,
+            config,
+            need_default=need_default,
+            need_no_limiter=need_no_limiter,
+            need_no_limiter_normalized=need_no_limiter_normalized,
+        )
     debug_line()
     info(Code.INFO_FINALIZING)
     for key, value in out.report.items():

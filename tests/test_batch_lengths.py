@@ -166,3 +166,36 @@ class TestMixedLengthFarm:
             assert np.all(tail == 0.0), i
             measured = snr(single, batch_result[i, :t_len])
             assert measured > 100.0, (i, measured)
+
+
+class TestLengthBucketing:
+    def test_config_length_bucketing_matches_exact(self, rng, snr):
+        """Config(length_bucketing=...) pads through the dynamic-length
+        graph and matches the exact-shape master for multiple lengths in
+        one bucket (they share a compiled executable by construction)."""
+        from matchering_tpu.stages import main as stages_main
+
+        sr = 44100
+        bucket = 1 << 19  # ~11.9 s at 44.1 kHz
+
+        def pair(seed, secs):
+            r = np.random.RandomState(seed)
+            n = int(secs * sr)
+            env = 0.5 + 0.5 * np.sin(np.arange(n) / sr * 2.0)[:, None]
+            return np.clip(0.3 * r.randn(n, 2) * env, -0.99, 0.99)
+
+        for seed, t_secs, r_secs in [(1, 9.0, 10.0), (2, 11.5, 8.0)]:
+            t, r = pair(seed, t_secs), pair(seed + 50, r_secs)
+            exact = stages_main(t, r, Config(dtype="float64"))[0]
+            bucketed = stages_main(
+                t, r, Config(dtype="float64", length_bucketing=bucket)
+            )[0]
+            assert bucketed.shape[0] == t.shape[0]
+            measured = snr(np.asarray(exact), np.asarray(bucketed))
+            assert measured > 100.0, (t_secs, measured)
+
+    def test_length_bucketing_validation(self):
+        with pytest.raises(ValueError):
+            Config(length_bucketing=100)  # < fft_size
+        with pytest.raises(ValueError):
+            Config(length_bucketing=1.5)
