@@ -206,6 +206,17 @@ class TestConvolve:
         )
         np.testing.assert_allclose(got, expected, rtol=1e-7, atol=1e-8)
 
+    def test_long_fir_auto_raises_block(self, rng):
+        """A FIR longer than block_fft // 2 transparently raises the block
+        size instead of producing a wrong overlap-save decomposition."""
+        x = rng.randn(200000)
+        h = rng.randn(40000)
+        expected = signal.fftconvolve(x, h, "same")
+        got = np.asarray(
+            convolve.fft_convolve_same(jnp.asarray(x), jnp.asarray(h), block_fft=1 << 14)
+        )
+        np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-7)
+
     def test_even_fir_alignment(self, rng):
         x = rng.randn(4096)
         h = rng.randn(512)  # even taps — 'same' centering must match scipy

@@ -285,7 +285,12 @@ def main():
         print(f"wrote {args.out}")
         return
 
-    artifact = {"device": str(jax.devices()[0])}
+    try:  # merge into an existing artifact — keep longform/dispatch sections
+        with open(args.out) as f:
+            artifact = json.load(f)
+    except FileNotFoundError:
+        artifact = {}
+    artifact["device"] = str(jax.devices()[0])
     artifact["single_pair_180s_44k"] = bench_single(jax, jnp, mg, config)
     print("single:", artifact["single_pair_180s_44k"], flush=True)
     artifact["per_stage_180s_44k"] = bench_stages(jax, jnp, mg, config)
