@@ -6,9 +6,10 @@ Workload mirrors the reference's headline use (BASELINE.md /
 ``examples/basic.py``) at production batch scale: eight distinct ~3-minute
 stereo 44.1 kHz target/reference pairs through the complete chain — level
 match, FIR EQ via overlap-save block FFT, 4-step RMS correction, Hyrax
-limiter — dispatched as pipelined independent programs
-(``parallel.master_pairs``, the single-device serving path; measured 2.1x
-the vmapped batch, BENCH_EXTRA_r02.json).  The metric is throughput
+limiter — dispatched as pipelined independent programs (the
+``parallel.master_pairs`` serving pattern, with the sync checksum fused
+into each program; measured 2.1x the vmapped batch,
+BENCH_EXTRA_r02.json).  The metric is throughput
 (audio-seconds mastered per wall second); the reference publishes no
 numbers, so vs_baseline is measured against the BASELINE.json north-star of
 50x realtime per chip.
@@ -58,9 +59,24 @@ def main():
     config = mg.Config()
     device = jax.devices()[0]
 
+    from matchering_tpu.ops import smoothing
+
+    # thread the smoothing operators as runtime arguments — closing over
+    # them would bake ~134 MB of dense literals into the HLO (the same
+    # program structure parallel.master_pairs uses, with the checksum
+    # fused into the graph so one dispatch per pair both runs and syncs)
+    interp_ops = smoothing.interpolation_operator_arrays(
+        config.internal_sample_rate,
+        config.fft_size,
+        config.lin_log_oversampling,
+        jnp.dtype(config.dtype),
+    )
+
     @jax.jit
-    def graph(target, reference):
-        out = mg.master_graph(target, reference, config, need_default=True)
+    def graph(target, reference, ops):
+        out = mg.master_graph(
+            target, reference, config, need_default=True, interp_ops=ops
+        )
         # reduce to one scalar inside the program: fetching it to the host
         # is the only reliable synchronization on the tunneled TPU backend
         # (block_until_ready returns before execution completes there)
@@ -82,12 +98,14 @@ def main():
                 for t, r in base
             ]
         )
-    for pairs in reps:  # sync staging before any timing
+    sync = jax.jit(lambda a: jnp.sum(a[:: 1 << 20]))
+    for pairs in reps:  # sync ALL staging (targets and references)
         for t, r in pairs:
-            float(jax.jit(lambda a: jnp.sum(a[:: 1 << 20]))(t))
+            float(sync(t))
+            float(sync(r))
 
     def run(pairs):
-        handles = [graph(t, r) for t, r in pairs]  # enqueue all
+        handles = [graph(t, r, interp_ops) for t, r in pairs]  # enqueue all
         return [float(h) for h in handles]  # then fetch all
 
     run(reps[0])  # compile + warm

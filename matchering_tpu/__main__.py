@@ -87,6 +87,11 @@ def main(argv=None) -> int:
     preview_result = mg.pcm16(args.preview_result) if args.preview_result else None
 
     if args.time_sharded:
+        if args.length_bucketing:
+            build_parser().error(
+                "--length_bucketing applies to the single-device graph; "
+                "--time_sharded derives its shapes from the shard grid"
+            )
         # same host shell as mg.process (temp folder, equality check,
         # validation, previews) with the mastering graph swapped for the
         # time-sharded executor
@@ -97,7 +102,7 @@ def main(argv=None) -> int:
         from .parallel import timeshard
         from .utils import get_temp_folder
 
-        config = mg.Config(length_bucketing=args.length_bucketing)
+        config = mg.Config()
         temp_folder = config.temp_folder or get_temp_folder([result])
         target_track = mg.check(
             *load(args.target, "target", temp_folder), config, "target"

@@ -44,17 +44,18 @@ def process_batch(
     jobs: Sequence[PairJob],
     config: Config = Config(),
     mesh=None,
-    bucket_multiple: int = 1 << 18,
+    bucket_multiple: Optional[int] = None,
     dispatch: str = "auto",
 ) -> None:
     """Master every job in one bucketed batch.
 
     All jobs share one padded bucket per role (pad to the longest track,
-    rounded up to ``bucket_multiple``) and therefore one compiled
-    executable; callers batching at production scale should group jobs of
-    similar duration so padding stays bounded.  ``mesh`` (optional, with a
-    ``pairs`` axis — ``parallel.make_mesh``) shards the batch across
-    devices.
+    rounded up to ``bucket_multiple`` — defaults to
+    ``config.length_bucketing`` when set, else 2^18 samples) and therefore
+    one compiled executable; callers batching at production scale should
+    group jobs of similar duration so padding stays bounded.  ``mesh``
+    (optional, with a ``pairs`` axis — ``parallel.make_mesh``) shards the
+    batch across devices.
 
     ``dispatch`` picks the device-dispatch strategy: ``"pipelined"``
     enqueues every pair as an independent program (fastest on one device —
@@ -65,6 +66,8 @@ def process_batch(
     """
     from .parallel.batch import bucket_pad, master_batch, master_pairs
 
+    if bucket_multiple is None:
+        bucket_multiple = config.length_bucketing or (1 << 18)
     if dispatch == "auto":
         dispatch = "vmapped" if mesh is not None else "pipelined"
     if dispatch not in ("vmapped", "pipelined"):
@@ -143,31 +146,20 @@ def process_batch(
         if mesh is not None and mesh.shape.get("time", 1) > 1:
             # 2-D (pairs, time) mesh: the pod-scale farm — data parallel
             # over pairs, sequence parallel over time blocks
-            from .parallel.timeshard import master_farm
-
-            out = master_farm(
-                t_batch,
-                r_batch,
-                config,
-                mesh=mesh,
-                need_default="limited" in wanted,
-                need_no_limiter="raw" in wanted,
-                need_no_limiter_normalized="normalized" in wanted,
-                target_lengths=t_lens,
-                reference_lengths=r_lens,
-            )
+            from .parallel.timeshard import master_farm as batched
         else:
-            out = master_batch(
-                t_batch,
-                r_batch,
-                config,
-                mesh=mesh,
-                need_default="limited" in wanted,
-                need_no_limiter="raw" in wanted,
-                need_no_limiter_normalized="normalized" in wanted,
-                target_lengths=t_lens,
-                reference_lengths=r_lens,
-            )
+            batched = master_batch
+        out = batched(
+            t_batch,
+            r_batch,
+            config,
+            mesh=mesh,
+            need_default="limited" in wanted,
+            need_no_limiter="raw" in wanted,
+            need_no_limiter_normalized="normalized" in wanted,
+            target_lengths=t_lens,
+            reference_lengths=r_lens,
+        )
         variants = {
             "limited": out.result,
             "raw": out.result_no_limiter,

@@ -54,10 +54,20 @@ def _make_pair(seconds, sr, seed=42):
 
 def bench_single(jax, jnp, mg, config, seconds=180, sr=44100):
     target, reference = _make_pair(seconds, sr)
+    from matchering_tpu.ops import smoothing
+
+    # thread the smoothing operators as runtime args (closing over them
+    # bakes ~134 MB of dense literals into the HLO)
+    interp_ops = smoothing.interpolation_operator_arrays(
+        config.internal_sample_rate,
+        config.fft_size,
+        config.lin_log_oversampling,
+        jnp.dtype(config.dtype),
+    )
 
     @jax.jit
-    def graph(t, r):
-        out = mg.master_graph(t, r, config, need_default=True)
+    def graph(t, r, ops):
+        out = mg.master_graph(t, r, config, need_default=True, interp_ops=ops)
         return jnp.sum(jnp.abs(out.result))
 
     variants = [
@@ -67,7 +77,7 @@ def bench_single(jax, jnp, mg, config, seconds=180, sr=44100):
         )
         for i in range(4)
     ]
-    median = _checksum_time(lambda t, r: float(graph(t, r)), variants)
+    median = _checksum_time(lambda t, r: float(graph(t, r, interp_ops)), variants)
     return {
         "seconds_audio": seconds,
         "wall_s": round(median, 4),
@@ -122,7 +132,7 @@ def bench_stages(jax, jnp, mg, config, seconds=180, sr=44100):
     )
 
     @jax.jit
-    def stage_analysis(t, r):
+    def stage_analysis(t, r, ops):
         r, _ = basics.normalize(r, config.threshold, config.min_value, False)
         t_div = _Division.static(t.shape[0], config.max_piece_size)
         r_div = _Division.static(r.shape[0], config.max_piece_size)
@@ -131,8 +141,8 @@ def bench_stages(jax, jnp, mg, config, seconds=180, sr=44100):
         t_mask, t_rms = _analyze_levels(tm, t_div)
         r_mask, r_rms = _analyze_levels(rm, r_div)
         coeff = r_rms / jnp.maximum(config.min_value, t_rms)
-        mid_fir = _matching_fir(tm, rm, t_div, r_div, t_mask, r_mask, coeff, config, interp_ops)
-        side_fir = _matching_fir(ts, rs, t_div, r_div, t_mask, r_mask, coeff, config, interp_ops)
+        mid_fir = _matching_fir(tm, rm, t_div, r_div, t_mask, r_mask, coeff, config, ops)
+        side_fir = _matching_fir(ts, rs, t_div, r_div, t_mask, r_mask, coeff, config, ops)
         return jnp.sum(mid_fir) + jnp.sum(side_fir), (tm * coeff, ts * coeff, mid_fir, side_fir, r_rms)
 
     @jax.jit
@@ -175,7 +185,7 @@ def bench_stages(jax, jnp, mg, config, seconds=180, sr=44100):
         timings[name] = round(sorted(runs)[1], 4)
         return out
 
-    _, carry = timeit("analysis_and_fir", stage_analysis, t_dev, r_dev)
+    _, carry = timeit("analysis_and_fir", stage_analysis, t_dev, r_dev, interp_ops)
     tm, ts, mid_fir, side_fir, r_rms = carry
     _, conv = timeit("convolution", stage_convolve, tm, ts, mid_fir, side_fir)
     _, result = timeit("rms_correction_x4", stage_correction, conv, r_rms)
@@ -250,6 +260,16 @@ def bench_longform(jax, jnp, mg, minutes=60, sr=96000, ref_seconds=180):
     }
 
 
+def _load_artifact(path):
+    """Existing artifact to merge into; tolerate a missing or corrupt file
+    (e.g. a previous run killed mid-write)."""
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return {}
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--longform", action="store_true")
@@ -272,11 +292,8 @@ def main():
     config = mg.Config()
 
     if args.longform_only:
-        try:
-            with open(args.out) as f:
-                artifact = json.load(f)
-        except FileNotFoundError:
-            artifact = {"device": str(jax.devices()[0])}
+        artifact = _load_artifact(args.out)
+        artifact.setdefault("device", str(jax.devices()[0]))
         artifact["longform_60min_96k"] = bench_longform(jax, jnp, mg)
         print("longform:", artifact["longform_60min_96k"], flush=True)
         with open(args.out, "w") as f:
@@ -285,11 +302,8 @@ def main():
         print(f"wrote {args.out}")
         return
 
-    try:  # merge into an existing artifact — keep longform/dispatch sections
-        with open(args.out) as f:
-            artifact = json.load(f)
-    except FileNotFoundError:
-        artifact = {}
+    # merge into an existing artifact — keep longform/dispatch sections
+    artifact = _load_artifact(args.out)
     artifact["device"] = str(jax.devices()[0])
     artifact["single_pair_180s_44k"] = bench_single(jax, jnp, mg, config)
     print("single:", artifact["single_pair_180s_44k"], flush=True)
