@@ -66,7 +66,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
 
     import matchering_tpu as mg
 
@@ -88,7 +89,7 @@ def main(argv=None) -> int:
 
     if args.time_sharded:
         if args.length_bucketing:
-            build_parser().error(
+            parser.error(
                 "--length_bucketing applies to the single-device graph; "
                 "--time_sharded derives its shapes from the shard grid"
             )

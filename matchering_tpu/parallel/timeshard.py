@@ -49,7 +49,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import Config
-from ..ops import basics, fir as fir_ops, iir, smoothing
+from ..ops import basics, convolve as conv_ops, fir as fir_ops, iir, smoothing
 from ..stages import MasterOutput, piece_division
 from ..utils import make_odd, ms_to_samples
 
@@ -109,9 +109,7 @@ def convolve_same_sharded(x_local: jax.Array, h: jax.Array, axis: str) -> jax.Ar
     # full-length temps (43 GB observed) where the blocked form stays
     # bounded; "same" on the halo-extended z contains the full-conv window
     # we need at offset `left`
-    from ..ops.convolve import fft_convolve_same
-
-    same = fft_convolve_same(z, h)
+    same = conv_ops.fft_convolve_same(z, h)
     return jax.lax.dynamic_slice(same, (left,), (x_local.shape[0],))
 
 

@@ -319,9 +319,6 @@ class TestFlatAnalysisOps:
 def test_ds_pole_powers_matches_float64():
     """The runtime outer-product ds pole powers (the HLO-literal fix) match
     direct float64 exponentiation to ~double precision."""
-    import numpy as np
-    import jax.numpy as jnp
-
     from matchering_tpu.ops import iir
 
     pole = 0.9999623444444  # the limiter release regime
