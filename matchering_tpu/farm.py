@@ -58,22 +58,35 @@ def process_batch(
     batch across devices.
 
     ``dispatch`` picks the device-dispatch strategy: ``"pipelined"``
-    enqueues every pair as an independent program (fastest on one device —
-    measured 2.1x the vmapped batch, see ``parallel.batch.master_pairs``),
-    ``"vmapped"`` runs one batched program (required with a ``mesh``, whose
-    pairs axis shards the batch dimension).  ``"auto"`` = pipelined on a
-    single device, vmapped under a mesh.
+    enqueues every pair as an independent program — fastest per chip
+    (measured 31.6 vs 20.4 pairs/s at B=8, ``BENCH_EXTRA_r02.json``) — and
+    with a pairs-only ``mesh`` round-robins the pairs over its devices so
+    every chip runs that fastest strategy concurrently.  ``"vmapped"`` runs
+    one batched program whose batch dimension is sharded over the mesh's
+    ``pairs`` axis; it is required when the mesh has a ``time`` axis
+    (single pairs spanning devices).  ``"auto"`` = pipelined everywhere
+    except time-sharded meshes.
     """
     from .parallel.batch import bucket_pad, master_batch, master_pairs
 
     if bucket_multiple is None:
         bucket_multiple = config.length_bucketing or (1 << 18)
+    if mesh is not None and "pairs" not in mesh.shape:
+        raise ValueError(
+            "process_batch shards jobs over a 'pairs' mesh axis, but the "
+            f"provided mesh has axes {tuple(mesh.axis_names)} — build it "
+            "with parallel.make_mesh (pairs[, time])"
+        )
     if dispatch == "auto":
-        dispatch = "vmapped" if mesh is not None else "pipelined"
+        time_sharded = mesh is not None and mesh.shape.get("time", 1) > 1
+        dispatch = "vmapped" if time_sharded else "pipelined"
     if dispatch not in ("vmapped", "pipelined"):
         raise ValueError(f"unknown dispatch strategy '{dispatch}'")
-    if dispatch == "pipelined" and mesh is not None:
-        raise ValueError("pipelined dispatch is single-device — drop mesh")
+    if dispatch == "pipelined" and mesh is not None and mesh.shape.get("time", 1) > 1:
+        raise ValueError(
+            "pipelined dispatch runs whole pairs on single devices — it "
+            "composes with a pairs-only mesh (round-robin), not a time axis"
+        )
 
     jobs = list(jobs)
     if not jobs:
@@ -111,8 +124,9 @@ def process_batch(
     r_batch, r_lens = bucket_pad(references, multiple=bucket_multiple)
 
     # a mesh shards the batch over its pairs rows — round the job count up
-    # by repeating the last pair (extra outputs are simply not encoded)
-    if mesh is not None and "pairs" in mesh.shape:
+    # by repeating the last pair (extra outputs are simply not encoded);
+    # pipelined dispatch round-robins whole pairs instead and needs no pad
+    if mesh is not None and dispatch == "vmapped" and "pairs" in mesh.shape:
         rows = mesh.shape["pairs"]
         short = -len(jobs) % rows
         if short:
@@ -135,6 +149,7 @@ def process_batch(
             need_no_limiter_normalized="normalized" in wanted,
             target_lengths=t_lens,
             reference_lengths=r_lens,
+            devices=None if mesh is None else list(mesh.devices.flat),
         )
         variants = {
             "limited": [o.result for o in outs],

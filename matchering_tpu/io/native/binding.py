@@ -171,15 +171,18 @@ def read_flac(path: str) -> Tuple[np.ndarray, int]:
         return buf, n
 
     # STREAMINFO total_samples is advisory (0 = unknown, RFC 9639) and
-    # attacker-controlled: allocate from it only when it is both present
-    # and plausible against the file size (silence compresses extremely,
-    # hence the generous factor); otherwise decode with a growing buffer.
+    # attacker-controlled: allocate from it only when the implied buffer is
+    # plausible against the file size.  Legit FLAC decompresses to at most a
+    # few times the file size (our f64 buffer is 8 bytes/sample vs >= 2 on
+    # disk), so 64x file size is already generous; a crafted small file
+    # claiming billions of samples now caps at megabytes instead of the old
+    # 16 GiB absolute bound.  Pathological cases (all-digital-silence tracks
+    # compress ~500x) fail the gate harmlessly: they decode via the growing
+    # buffer below.
     claimed = frames.value
     file_bytes = os.path.getsize(path)
-    plausible = (
-        0 < claimed
-        and claimed <= file_bytes * 1000
-        and claimed * channels.value * 8 <= 1 << 34
+    plausible = 0 < claimed and claimed * channels.value * 8 <= max(
+        1 << 26, file_bytes * 64
     )
     if plausible:
         out, n = _decode(claimed)

@@ -113,23 +113,31 @@ def master_pairs(
     need_no_limiter_normalized: bool = False,
     target_lengths: Optional[Sequence[int]] = None,
     reference_lengths: Optional[Sequence[int]] = None,
+    devices: Optional[Sequence] = None,
 ) -> List[MasterOutput]:
-    """Master same-bucket pairs as *pipelined independent dispatches* on one
-    device: every pair is enqueued before any result is fetched, so the
-    dispatch round-trip overlaps device compute.
+    """Master same-bucket pairs as *pipelined independent dispatches*:
+    every pair is enqueued before any result is fetched, so the dispatch
+    round-trip overlaps device compute.
 
     On the single-chip serving path this beats one big vmapped program —
-    measured 28.0 pairs/s vs 13.1 at B=8 on a 3-min bucket
+    measured 31.6 pairs/s vs 20.4 at B=8 on a 3-min bucket
     (``BENCH_EXTRA_r02.json``): the batched program serializes its stages
     across the whole batch while independent programs keep the chip busy
-    back-to-back.  The vmapped path (:func:`master_batch`) remains the
-    multi-chip surface — its batch axis is what shards over the ``pairs``
-    mesh axis.
+    back-to-back.
+
+    ``devices`` (optional) round-robins the pairs over multiple chips: pair
+    ``i``'s inputs are committed to ``devices[i % n]`` and its program runs
+    there, so N chips each run the measured-fastest single-chip dispatch
+    strategy concurrently — the highest-throughput farm configuration
+    (vmapped sharding was ~1.5x slower per chip).  One executable is
+    compiled per device (identical program text — the persistent compile
+    cache makes repeat compiles cheap); results stay on their devices until
+    consumed.  The vmapped path (:func:`master_batch`) remains the surface
+    for meshes with a ``time`` axis, where single pairs span devices.
 
     All pairs must share one padded bucket shape per role (one compiled
-    executable — true lengths ride as traced scalars).  Returns one
-    ``MasterOutput`` per pair, in order; outputs stay on device until
-    consumed.
+    executable per device — true lengths ride as traced scalars).  Returns
+    one ``MasterOutput`` per pair, in order.
     """
     if len(targets) != len(references):
         raise ValueError("targets and references differ in count")
@@ -146,22 +154,38 @@ def master_pairs(
         config.lin_log_oversampling,
         jnp.dtype(config.dtype),
     )
-    return [
-        _master_single(
-            jnp.asarray(t),
-            jnp.asarray(r),
-            jnp.int32(tl),
-            jnp.int32(rl),
-            interp_ops,
-            config,
-            need_default,
-            need_no_limiter,
-            need_no_limiter_normalized,
+    if devices is not None:
+        devices = list(devices)
+        # stage the shared smoothing operators once per device, not per pair
+        ops_on = [jax.device_put(interp_ops, d) for d in devices]
+
+        def place(value, i):
+            return jax.device_put(value, devices[i % len(devices)])
+
+    else:
+        ops_on = [interp_ops]
+
+        def place(value, i):
+            return jnp.asarray(value) if hasattr(value, "shape") else value
+
+    outs = []
+    for i, (t, r, tl, rl) in enumerate(
+        zip(targets, references, target_lengths, reference_lengths)
+    ):
+        outs.append(
+            _master_single(
+                place(jnp.asarray(t), i),
+                place(jnp.asarray(r), i),
+                place(jnp.int32(tl), i),
+                place(jnp.int32(rl), i),
+                ops_on[i % len(ops_on)],
+                config,
+                need_default,
+                need_no_limiter,
+                need_no_limiter_normalized,
+            )
         )
-        for t, r, tl, rl in zip(
-            targets, references, target_lengths, reference_lengths
-        )
-    ]
+    return outs
 
 
 def master_batch(

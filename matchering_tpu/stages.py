@@ -366,6 +366,8 @@ def main(
     stream out around that one execution (same codes, same order — remote
     consumers keyed on ``LOG_CODES.md`` semantics keep working).
     """
+    import time as _time
+
     from .log import Code, debug, debug_line, info
     from .utils import to_db
 
@@ -373,6 +375,7 @@ def main(
     info(Code.INFO_MATCHING_LEVELS)
     info(Code.INFO_MATCHING_FREQS)
     info(Code.INFO_CORRECTING_LEVELS)
+    dispatch_start = _time.perf_counter()
     bucket = config.length_bucketing
     if bucket:
         # pad both tracks up to the bucket grid and analyze/limit at the
@@ -417,11 +420,21 @@ def main(
             need_no_limiter=need_no_limiter,
             need_no_limiter_normalized=need_no_limiter_normalized,
         )
+    # runtime stage-timing parity with the reference's convolution timer
+    # (``matchering/stage_helpers/match_frequencies.py:111-114``): all four
+    # stages are one fused dispatch here, so one wall-clock line covers the
+    # chain.  Fetching a report scalar forces completion first (on the axon
+    # backend ``block_until_ready`` does not synchronize — host fetch does).
+    report_host = {key: float(value) for key, value in out.report.items()}
+    debug(
+        "Mastering graph (all four stages, one fused dispatch) took "
+        f"{_time.perf_counter() - dispatch_start:.3f} s"
+    )
     debug_line()
     info(Code.INFO_FINALIZING)
-    for key, value in out.report.items():
+    for key, value in report_host.items():
         try:
-            debug(f"{key}: {to_db(float(value))}")
+            debug(f"{key}: {to_db(value)}")
         except (ValueError, OverflowError):
-            debug(f"{key}: {float(value)}")
+            debug(f"{key}: {value}")
     return out.result, out.result_no_limiter, out.result_no_limiter_normalized

@@ -148,9 +148,70 @@ def test_dispatch_strategies_agree(file_pairs, tmp_path, snr):
     with pytest.raises(ValueError):
         run("bad", dispatch="sideways")
     with pytest.raises(ValueError):
+        # pipelined runs whole pairs on single devices — a time axis (pairs
+        # spanning devices) is the one mesh shape it cannot serve
+        from matchering_tpu.parallel.mesh import make_mesh
+
+        run("badmesh", dispatch="pipelined", mesh=make_mesh(pairs=2, time=4))
+    with pytest.raises(ValueError, match="pairs"):
+        # any mesh without a 'pairs' axis is rejected up front with a clear
+        # message (it used to fall through to an opaque unpacking error)
         from matchering_tpu.parallel.mesh import single_axis_mesh
 
-        run("badmesh", dispatch="pipelined", mesh=single_axis_mesh("pairs"))
+        run("noaxis", mesh=single_axis_mesh("time"))
+
+
+def test_pipelined_round_robin_over_mesh_devices(file_pairs, tmp_path, snr):
+    """VERDICT r2 item 1: pipelined dispatch with a pairs-only mesh
+    round-robins whole pairs over the mesh devices (each chip runs the
+    measured-fastest single-chip strategy) and every job's file matches the
+    single-pair ``process()`` output."""
+    from matchering_tpu.parallel.mesh import single_axis_mesh
+
+    folder, pairs = file_pairs
+    cfg = mg.Config(dtype="float64")
+    mesh = single_axis_mesh("pairs")  # all 8 virtual devices
+    jobs = [
+        mg.PairJob(
+            target=tp,
+            reference=rp,
+            results=[mg.pcm16(str(tmp_path / f"rr{i}.wav"))],
+        )
+        for i, (tp, rp) in enumerate(pairs)
+    ]
+    mg.process_batch(jobs, cfg, mesh=mesh, dispatch="pipelined")
+    for i, (tp, rp) in enumerate(pairs):
+        single = str(tmp_path / f"rr_single{i}.wav")
+        mg.process(tp, rp, [mg.pcm16(single)], cfg)
+        got, gsr = codecs.read(str(tmp_path / f"rr{i}.wav"))
+        want, wsr = codecs.read(single)
+        assert gsr == wsr and got.shape == want.shape
+        measured = snr(want, got)
+        assert measured > 120.0, (i, measured)
+
+
+def test_master_pairs_devices_land_on_their_devices(file_pairs, snr):
+    """The round-robin actually places pair i's program on devices[i % n]."""
+    import jax
+
+    from matchering_tpu.parallel.batch import master_pairs
+
+    sr = 44100
+    r = np.random.RandomState(5)
+    n = 6 * sr
+    targets = [np.clip(r.randn(n, 2) * 0.2, -1, 1) for _ in range(4)]
+    references = [np.clip(r.randn(n, 2) * 0.7, -1, 1) for _ in range(4)]
+    devices = jax.devices()[:2]
+    outs = master_pairs(
+        targets, references, mg.Config(dtype="float64"), devices=devices
+    )
+    for i, out in enumerate(outs):
+        placed = list(out.result.devices())
+        assert placed == [devices[i % 2]], (i, placed)
+    # and the numerics equal the default-device dispatch
+    base = master_pairs(targets, references, mg.Config(dtype="float64"))
+    for got, want in zip(outs, base):
+        assert snr(np.asarray(want.result), np.asarray(got.result)) > 200.0
 
 
 def test_process_batch_on_2d_farm_mesh(file_pairs, tmp_path, snr):

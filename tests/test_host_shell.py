@@ -344,3 +344,23 @@ class TestAifcFloat:
         assert sr == 44100
         np.testing.assert_allclose(y, x, atol=1e-6)
         assert np.abs(y).max() > 1.0  # float samples are not clipped
+
+
+class TestStageTimingDebug:
+    def test_main_emits_wall_clock_line(self, rng):
+        """Runtime stage-timing parity with the reference's convolution
+        timer (``match_frequencies.py:111-114``): a debug handler must see
+        one wall-clock line for the fused mastering dispatch."""
+        from matchering_tpu import stages
+
+        lines = []
+        mg.log(debug_handler=lines.append)
+        try:
+            n = 3 * 44100
+            target = jnp.asarray(rng.randn(n, 2) * 0.1)
+            reference = jnp.asarray(np.clip(rng.randn(n, 2) * 0.5, -0.9, 0.9))
+            stages.main(target, reference, mg.Config(max_piece_size=1.0))
+        finally:
+            mg.log()
+        timing = [l for l in lines if "took" in str(l) and " s" in str(l)]
+        assert timing, f"no timing debug line in {lines!r}"
