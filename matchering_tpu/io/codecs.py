@@ -7,7 +7,11 @@ available backend.  Backends, in preference order:
 
 1. the native C++ codec (``matchering_tpu/io/native``), when built;
 2. the pure numpy WAV/AIFF codecs in this package;
-3. an ``ffmpeg`` subprocess for anything else (mp3, ogg, flac...), matching
+3. the system libvorbis via ctypes for OGG/Vorbis read *and* write
+   (``matchering_tpu/io/native/vorbis.py``) — the reference reads Vorbis
+   natively through libsndfile (``matchering/loader.py:35``), so the common
+   lossy-upload case must not require an ffmpeg binary;
+4. an ``ffmpeg`` subprocess for anything else (mp3, opus, caf...), matching
    the reference's fallback behavior (``matchering/loader.py:50-74``).
 """
 
@@ -20,6 +24,7 @@ import numpy as np
 
 from . import aiff, wav
 from .native import binding as native
+from .native import mp3, vorbis
 
 _WRITE_FORMATS = {
     "WAV": ("PCM_16", "PCM_24", "PCM_32", "FLOAT", "DOUBLE"),
@@ -63,9 +68,21 @@ def check_format(fmt: str, subtype: Optional[str] = None) -> bool:
         if fmt == "FLAC" and not native.available():
             return False
         return subtype is None or subtype.upper() in _WRITE_FORMATS[fmt]
+    if fmt == "OGG" and vorbis.available():
+        return subtype is None or subtype.upper() == "VORBIS"
+    if fmt == "MP3" and mp3.write_available():
+        return subtype is None or subtype.upper() == "MPEG_LAYER_III"
     if fmt in _FFMPEG_WRITE_FORMATS and ffmpeg_available():
         return subtype is None or subtype.upper() in _FFMPEG_WRITE_FORMATS[fmt]
     return False
+
+
+def is_lossy_container(path: str) -> bool:
+    """True for containers whose audio is lossy-compressed (OGG, MP3) —
+    drives the loader's lossy-source advisory even when the file decodes
+    natively (the reference only warns on its ffmpeg path, but the source
+    is just as lossy when libsndfile decodes it directly)."""
+    return vorbis.is_ogg(path) or mp3.is_mp3(path)
 
 
 def read(path: str) -> Tuple[np.ndarray, int]:
@@ -85,6 +102,12 @@ def read(path: str) -> Tuple[np.ndarray, int]:
         return aiff.read(path)
     if len(magic) >= 4 and magic[:4] == b"fLaC" and native.available():
         return native.read_flac(path)
+    if len(magic) >= 4 and magic[:4] == b"OggS" and vorbis.available():
+        return vorbis.read_ogg(path)
+    # MP3 last: its frame-sync sniff is heuristic, every real magic above
+    # has already been ruled out by this point
+    if mp3.available() and mp3.is_mp3(path):
+        return mp3.read_mp3(path)
     raise RuntimeError(f"unknown format: '{os.path.basename(path)}'")
 
 
@@ -101,6 +124,10 @@ def write(path: str, array: np.ndarray, sample_rate: int, subtype: str) -> None:
         if not native.available():
             raise RuntimeError("FLAC output needs the native codec (io/native)")
         native.write_flac(path, np.ascontiguousarray(array, dtype=np.float64), sample_rate, subtype)
+    elif ext == "OGG" and vorbis.available() and subtype.upper() == "VORBIS":
+        vorbis.write_ogg(path, array, sample_rate)
+    elif ext == "MP3" and mp3.write_available() and subtype.upper() == "MPEG_LAYER_III":
+        mp3.write_mp3(path, array, sample_rate)
     elif ext in _FFMPEG_WRITE_FORMATS:
         _write_via_ffmpeg(path, array, sample_rate, ext, subtype)
     else:

@@ -38,10 +38,13 @@ def _is_unknown_container(error: Exception) -> bool:
 
 def _decode_native(file: str, role: str, temp_folder: str):
     try:
-        return codecs.read(file)
+        decoded = codecs.read(file)
     except (RuntimeError, OSError) as error:
         debug(error)
         return None if _is_unknown_container(error) else _raise_load_error(role)
+    if codecs.is_lossy_container(file):
+        _LOSSY_EVENTS[role]()
+    return decoded
 
 
 def _decode_via_ffmpeg(file: str, role: str, temp_folder: str):
