@@ -83,19 +83,39 @@ _SEQUENTIAL_LIMIT = 1 << 25  # above this, trade scan parallelism for memory
 _SEQ_MEGA_ROWS = 128  # sequential mega-block = rows * _SCAN_BLOCK (~4M) samples
 
 
+_POWER_COLS = 256  # host-literal length for the runtime power outer product
+
+
 def _pole_powers(pole, block: int, dtype):
     """(pole^1..pole^block, pole^block).  For a host-float pole the powers
-    are computed in float64 and correctly rounded per entry — the naive
+    are computed in float64 and correctly rounded per factor — the naive
     f32 ``pole ** i`` loses ~i*eps relative accuracy, which for the
-    limiter's near-unit release pole is 1e-3 at block size 32768."""
-    if isinstance(pole, (int, float)):
-        import numpy as _np
+    limiter's near-unit release pole is 1e-3 at block size 32768.
 
+    Long vectors are built *at runtime* as an outer product of two
+    <= _POWER_COLS-entry host vectors: a direct length-``block`` host array
+    becomes a 256 KB dense literal in the HLO text, and six of those made
+    the truncated limiter a 2.3 MB program (slow on this backend's remote
+    compile service).  The product of two correctly-rounded factors costs
+    one extra rounding (~1 ulp) — far below the scan's own error."""
+    import numpy as _np
+
+    if not isinstance(pole, (int, float)):
+        pole_arr = jnp.asarray(pole, dtype=dtype)
+        powers = pole_arr ** jnp.arange(1, block + 1, dtype=dtype)
+        return powers, powers[-1]
+    a_block = jnp.asarray(_np.float64(pole) ** block, dtype=dtype)
+    if block <= _POWER_COLS:
         p64 = _np.float64(pole) ** _np.arange(1, block + 1)
-        return jnp.asarray(p64, dtype=dtype), jnp.asarray(p64[-1], dtype=dtype)
-    pole_arr = jnp.asarray(pole, dtype=dtype)
-    powers = pole_arr ** jnp.arange(1, block + 1, dtype=dtype)
-    return powers, powers[-1]
+        return jnp.asarray(p64, dtype=dtype), a_block
+    cols = _POWER_COLS
+    rows = -(-block // cols)
+    col64 = _np.float64(pole) ** _np.arange(1, cols + 1)
+    row64 = _np.float64(pole) ** (cols * _np.arange(rows, dtype=_np.float64))
+    outer = jnp.asarray(row64, dtype=dtype)[:, None] * jnp.asarray(
+        col64, dtype=dtype
+    )[None, :]
+    return outer.reshape(-1)[:block], a_block
 
 
 def scan_first_order(drive: jax.Array, pole) -> jax.Array:
@@ -112,7 +132,29 @@ def scan_first_order(drive: jax.Array, pole) -> jax.Array:
     a flat associative scan over millions of samples emits log2(n)
     full-size HLO stages (~60 s compile per scan on this TPU backend, vs
     ~5 s blocked) — and the aligned 2-D layout runs no slower.
+
+    Under ``vmap`` a custom batching rule folds the batch dimension into the
+    *rows* of the 2-D block view instead of letting the mapped axis ride
+    along as a small leading dim: XLA laid the naively vmapped scan
+    intermediates out batch-minor, lane-padding B=16 to 128 (8.2x memory —
+    a 31.4 GB OOM on a 16 GB chip, ``BENCH_EXTRA_r02.json``).  The folded
+    form keeps every large intermediate in the same (many_rows, block)
+    shape class the single-pair path runs.
     """
+    scan = jax.custom_batching.custom_vmap(
+        lambda d: _scan_first_order_impl(d, pole)
+    )
+
+    @scan.def_vmap
+    def _rule(axis_size, in_batched, d):  # noqa: ANN001 - jax rule signature
+        if not in_batched[0]:
+            d = jnp.broadcast_to(d, (axis_size,) + d.shape)
+        return _scan_first_order_batched(d, pole), True
+
+    return scan(drive)
+
+
+def _scan_first_order_impl(drive: jax.Array, pole) -> jax.Array:
     dtype = drive.dtype
     n = drive.shape[0]
     if n <= 2 * _SCAN_BLOCK:
@@ -167,6 +209,83 @@ def scan_first_order(drive: jax.Array, pole) -> jax.Array:
 
     local = _two_level_zero_state(blocks, pole, powers, a_block, dtype)
     return local.reshape(-1)[:n]
+
+
+def _scan_first_order_batched(drive: jax.Array, pole) -> jax.Array:
+    """Batched zero-state scan over (B, n) drives with the batch dim folded
+    into the block rows — the ``vmap`` rule of :func:`scan_first_order`.
+
+    Every large intermediate is (B*rows, block): per-row local scans don't
+    couple rows, so batching is free; only the carry chain is per-track,
+    and it runs over the tiny (B, rows) summary array.  The mega
+    (sequential) path folds the same way inside each ``lax.scan`` step.
+    """
+    dtype = drive.dtype
+    B, n = drive.shape
+    if n <= 2 * _SCAN_BLOCK:
+        pole_arr = jnp.asarray(pole, dtype=dtype)
+        poles = jnp.broadcast_to(pole_arr, drive.shape)
+        _, y = jax.lax.associative_scan(_affine_combine, (poles, drive), axis=1)
+        return y
+
+    block = _SCAN_BLOCK
+    nblocks = -(-n // block)
+    powers, a_block = _pole_powers(pole, block, dtype)
+
+    if n > _SEQUENTIAL_LIMIT:
+        rows = _SEQ_MEGA_ROWS
+        mega = rows * block
+        nmega = -(-n // mega)
+        padded = jnp.pad(drive, ((0, 0), (0, nmega * mega - n)))
+        # scan steps over the mega axis; each step sees (B*rows, block)
+        megas = jnp.moveaxis(padded.reshape(B, nmega, rows, block), 1, 0)
+        import numpy as _np
+
+        if isinstance(pole, (int, float)):
+            row64 = _np.float64(pole) ** (block * _np.arange(rows, dtype=_np.float64))
+            row_powers = jnp.asarray(row64, dtype=dtype)
+            a_mega = jnp.asarray(_np.float64(pole) ** mega, dtype=dtype)
+        else:
+            row_powers = jnp.asarray(pole, dtype=dtype) ** (
+                jnp.arange(rows, dtype=dtype) * block
+            )
+            a_mega = jnp.asarray(pole, dtype=dtype) ** mega
+
+        def step(carry, drive_mega):  # carry: (B,), drive_mega: (B, rows, block)
+            flat = drive_mega.reshape(B * rows, block)
+            y0 = _two_level_batched_zero_state(
+                flat, B, pole, powers, a_block, dtype
+            )
+            cin = (carry[:, None] * row_powers[None, :]).reshape(B * rows)
+            y = y0 + cin[:, None] * powers[None, :]
+            new_carry = a_mega * carry + y0.reshape(B, rows, block)[:, -1, -1]
+            return new_carry, y.reshape(B, rows, block)
+
+        _, ys = jax.lax.scan(step, jnp.zeros((B,), dtype), megas)
+        return jnp.moveaxis(ys, 0, 1).reshape(B, -1)[:, :n]
+
+    padded = jnp.pad(drive, ((0, 0), (0, nblocks * block - n)))
+    flat = padded.reshape(B * nblocks, block)
+    local = _two_level_batched_zero_state(flat, B, pole, powers, a_block, dtype)
+    return local.reshape(B, -1)[:, :n]
+
+
+def _two_level_batched_zero_state(flat, B, pole, powers, a_block, dtype):
+    """Zero-entry-state solution over a (B*rows, block) drive view where
+    carries must not cross the B track boundaries.  Local scans are shared;
+    the carry chain runs per track over the (B, rows) summaries."""
+    rows = flat.shape[0] // B
+    poles = jnp.broadcast_to(jnp.asarray(pole, dtype=dtype), flat.shape)
+    _, local = jax.lax.associative_scan(_affine_combine, (poles, flat), axis=1)
+    summaries = local[:, -1].reshape(B, rows)
+    a_vec = jnp.broadcast_to(a_block, (B, rows))
+    _, carries = jax.lax.associative_scan(
+        _affine_combine, (a_vec, summaries), axis=1
+    )
+    carry_in = jnp.concatenate(
+        [jnp.zeros((B, 1), dtype), carries[:, :-1]], axis=1
+    ).reshape(B * rows)
+    return local + powers[None, :] * carry_in[:, None]
 
 
 def _two_level_zero_state(blocks, pole, powers, a_block, dtype):
@@ -249,25 +368,47 @@ def _ds_const(value_f64, dtype, shape=()):
     return h, l
 
 
+def _ds_pows0(pole: float, stride: float, m: int, dtype):
+    """``pole**(stride * (0..m-1))`` as a runtime ds pair, recursively built
+    from host vectors of <= _POWER_COLS entries each (multi-level outer
+    product).  Every level costs one ~eps32^2 ds multiply."""
+    import numpy as _np
+
+    if m <= _POWER_COLS:
+        return _ds_const(
+            _np.float64(pole) ** (stride * _np.arange(m, dtype=_np.float64)),
+            dtype,
+            (m,),
+        )
+    cols = _POWER_COLS
+    ch, cl = _ds_const(
+        _np.float64(pole) ** (stride * _np.arange(cols, dtype=_np.float64)),
+        dtype,
+        (cols,),
+    )
+    rows = -(-m // cols)
+    rh, rl = _ds_pows0(pole, stride * cols, rows, dtype)
+    mh, ml = _ds_mul((rh[:, None], rl[:, None]), (ch[None, :], cl[None, :]))
+    return mh.reshape(-1)[:m], ml.reshape(-1)[:m]
+
+
 def ds_pole_powers(pole: float, n: int, dtype):
     """``pole**(1..n)`` as a runtime ds pair (hi, lo).
 
-    Built as an outer product of two <= ``_SCAN_BLOCK``-sized host vectors
-    evaluated on device: a direct length-``n`` host array would embed O(n)
-    dense literals in the HLO (a 345M-sample shard put 4x full-length
-    constants = gigabytes of program text into the sharded limiter).
-    ``_ds_mul`` of the two ~eps32^2-accurate pairs keeps ~double precision.
+    Built as a multi-level outer product of <= _POWER_COLS-entry host
+    vectors evaluated on device: a direct length-``n`` host array would
+    embed O(n) dense literals in the HLO (a 345M-sample shard put 4x
+    full-length constants = gigabytes of program text into the sharded
+    limiter; even the 32k per-block vectors were 256 KB of text *each* —
+    six of them made the truncated limiter a 2.3 MB program).  ``_ds_mul``
+    of the correctly-rounded factor pairs keeps ~double precision
+    (~eps32^2 per level, <= 4 levels for any realistic n).
     """
     import numpy as _np
 
-    block = min(n, _SCAN_BLOCK)
-    rows = -(-n // block)
-    col64 = _np.float64(pole) ** _np.arange(1, block + 1)
-    row64 = _np.float64(pole) ** (block * _np.arange(rows, dtype=_np.float64))
-    ch, cl = _ds_const(col64, dtype, (block,))
-    rh, rl = _ds_const(row64, dtype, (rows,))
-    mh, ml = _ds_mul((rh[:, None], rl[:, None]), (ch[None, :], cl[None, :]))
-    return mh.reshape(-1)[:n], ml.reshape(-1)[:n]
+    h0, l0 = _ds_pows0(pole, 1.0, n, dtype)
+    ph, pl = _ds_const(_np.float64(pole), dtype)
+    return _ds_mul((h0, l0), (ph, pl))
 
 
 def _ds_scan_zero_state(drive_hi, drive_lo, pole_hi, pole_lo):
@@ -290,9 +431,8 @@ def _ds_two_level(bh, bl, pole, pole_hi, pole_lo, dtype):
     rows, block = bh.shape
     local_h, local_l = _ds_scan_zero_state(bh, bl, pole_hi, pole_lo)
 
-    powers64 = _np.float64(pole) ** _np.arange(1, block + 1)
-    pw_h, pw_l = _ds_const(powers64, dtype, (block,))
-    ab_h, ab_l = _ds_const(powers64[-1], dtype)
+    pw_h, pw_l = ds_pole_powers(pole, block, dtype)  # runtime, literal-free
+    ab_h, ab_l = _ds_const(_np.float64(pole) ** block, dtype)
 
     # carry chain over row summaries (rows entries, ds affine maps)
     a_h = jnp.broadcast_to(ab_h, (rows,))
@@ -319,7 +459,28 @@ def scan_first_order_ds(drive_hi: jax.Array, drive_lo: jax.Array, pole: float):
     mega-blocks with a double-single carry, each mega-block solved with the
     parallel ds two-level form — so hour-long float32 masters keep ~double
     accuracy instead of falling off the ds cliff (the naive f32 scan floors
-    at ~70 dB for the limiter's near-unit release pole)."""
+    at ~70 dB for the limiter's near-unit release pole).
+
+    Under ``vmap`` a custom batching rule folds the batch into the block
+    rows (see :func:`scan_first_order`) — the naive vmapped layout was the
+    B=16 farm OOM (batch-minor lane padding, ``BENCH_EXTRA_r02.json``)."""
+    scan = jax.custom_batching.custom_vmap(
+        lambda dh, dl: _scan_first_order_ds_impl(dh, dl, pole)
+    )
+
+    @scan.def_vmap
+    def _rule(axis_size, in_batched, dh, dl):  # noqa: ANN001 - jax rule signature
+        hi_b, lo_b = in_batched
+        if not hi_b:
+            dh = jnp.broadcast_to(dh, (axis_size,) + dh.shape)
+        if not lo_b:
+            dl = jnp.broadcast_to(dl, (axis_size,) + dl.shape)
+        return _scan_first_order_ds_batched(dh, dl, pole), (True, True)
+
+    return scan(drive_hi, drive_lo)
+
+
+def _scan_first_order_ds_impl(drive_hi: jax.Array, drive_lo: jax.Array, pole: float):
     import numpy as _np
 
     dtype = drive_hi.dtype
@@ -340,13 +501,13 @@ def scan_first_order_ds(drive_hi: jax.Array, drive_lo: jax.Array, pole: float):
         ml = jnp.pad(drive_lo, (0, pad)).reshape(nmega, rows, block)
 
         # pole^(r*block + c+1) for the carry broadcast, as a ds outer
-        # product of two small ds vectors evaluated at runtime (a host
-        # (rows, block) matrix would embed two multi-MB dense literals per
-        # filter in the HLO — see scan_first_order).  _ds_mul of two
-        # ~eps32^2-accurate pairs keeps ~double precision.
-        col64 = _np.float64(pole) ** _np.arange(1, block + 1)
+        # product of small runtime-built ds vectors (a host (rows, block)
+        # matrix would embed two multi-MB dense literals per filter in the
+        # HLO — see scan_first_order; even flat 32k vectors cost 256 KB of
+        # program text each).  _ds_mul of the ~eps32^2-accurate factor
+        # pairs keeps ~double precision.
         row64 = _np.float64(pole) ** (block * _np.arange(rows, dtype=_np.float64))
-        pcol_h, pcol_l = _ds_const(col64, dtype, (block,))
+        pcol_h, pcol_l = ds_pole_powers(pole, block, dtype)
         prow_h, prow_l = _ds_const(row64, dtype, (rows,))
         mp_h, mp_l = _ds_mul(
             (prow_h[:, None], prow_l[:, None]), (pcol_h[None, :], pcol_l[None, :])
@@ -372,6 +533,101 @@ def scan_first_order_ds(drive_hi: jax.Array, drive_lo: jax.Array, pole: float):
     bl = jnp.pad(drive_lo, (0, pad)).reshape(nblocks, block)
     y_h, y_l = _ds_two_level(bh, bl, pole, pole_hi, pole_lo, dtype)
     return y_h.reshape(-1)[:n], y_l.reshape(-1)[:n]
+
+
+def _scan_first_order_ds_batched(drive_hi, drive_lo, pole: float):
+    """Batched compensated scan over (B, n) drives — the ``vmap`` rule of
+    :func:`scan_first_order_ds`.  Same batch-into-rows folding as
+    :func:`_scan_first_order_batched`; carries stay per track."""
+    import numpy as _np
+
+    dtype = drive_hi.dtype
+    B, n = drive_hi.shape
+    pole_hi, pole_lo = _ds_const(_np.float64(pole), dtype)
+
+    if n <= 2 * _SCAN_BLOCK:
+        return _ds_scan_zero_state(drive_hi, drive_lo, pole_hi, pole_lo)
+
+    block = _SCAN_BLOCK
+
+    if n > _SEQUENTIAL_LIMIT:
+        rows = _SEQ_MEGA_ROWS
+        mega = rows * block
+        nmega = -(-n // mega)
+        pad = nmega * mega - n
+        mh = jnp.moveaxis(
+            jnp.pad(drive_hi, ((0, 0), (0, pad))).reshape(B, nmega, rows, block), 1, 0
+        )
+        ml = jnp.moveaxis(
+            jnp.pad(drive_lo, ((0, 0), (0, pad))).reshape(B, nmega, rows, block), 1, 0
+        )
+        row64 = _np.float64(pole) ** (block * _np.arange(rows, dtype=_np.float64))
+        pcol_h, pcol_l = ds_pole_powers(pole, block, dtype)
+        prow_h, prow_l = _ds_const(row64, dtype, (rows,))
+        am_h, am_l = _ds_const(_np.float64(pole) ** mega, dtype)
+
+        def step(carry, drives):  # carry: ds pair of (B,)
+            dh, dl = drives
+            ch, cl = carry
+            flat_h = dh.reshape(B * rows, block)
+            flat_l = dl.reshape(B * rows, block)
+            y0h, y0l = _ds_two_level_batched(
+                flat_h, flat_l, B, pole, pole_hi, pole_lo, dtype
+            )
+            # carry correction pole^(r*block+c+1)*carry_b, kept 2-D:
+            # cin[b,r] = prow[r]*carry[b], then corr = pcol ⊗ cin_flat
+            cin_h, cin_l = _ds_mul(
+                (prow_h[None, :], prow_l[None, :]), (ch[:, None], cl[:, None])
+            )
+            cin_h, cin_l = cin_h.reshape(B * rows), cin_l.reshape(B * rows)
+            corr_h, corr_l = _ds_mul(
+                (pcol_h[None, :], pcol_l[None, :]), (cin_h[:, None], cin_l[:, None])
+            )
+            yh, yl = _ds_add((y0h, y0l), (corr_h, corr_l))
+            last_h = y0h.reshape(B, rows, block)[:, -1, -1]
+            last_l = y0l.reshape(B, rows, block)[:, -1, -1]
+            new_c = _ds_add(_ds_mul((am_h, am_l), (ch, cl)), (last_h, last_l))
+            return new_c, (yh.reshape(B, rows, block), yl.reshape(B, rows, block))
+
+        zero = jnp.zeros((B,), dtype)
+        _, (ys_h, ys_l) = jax.lax.scan(step, (zero, zero), (mh, ml))
+        ys_h = jnp.moveaxis(ys_h, 0, 1).reshape(B, -1)[:, :n]
+        ys_l = jnp.moveaxis(ys_l, 0, 1).reshape(B, -1)[:, :n]
+        return ys_h, ys_l
+
+    nblocks = -(-n // block)
+    pad = nblocks * block - n
+    bh = jnp.pad(drive_hi, ((0, 0), (0, pad))).reshape(B * nblocks, block)
+    bl = jnp.pad(drive_lo, ((0, 0), (0, pad))).reshape(B * nblocks, block)
+    y_h, y_l = _ds_two_level_batched(bh, bl, B, pole, pole_hi, pole_lo, dtype)
+    return y_h.reshape(B, -1)[:, :n], y_l.reshape(B, -1)[:, :n]
+
+
+def _ds_two_level_batched(bh, bl, B, pole, pole_hi, pole_lo, dtype):
+    """Zero-entry-state ds solution over a (B*rows, block) drive view with
+    per-track carry chains over the (B, rows) summaries."""
+    import numpy as _np
+
+    rows = bh.shape[0] // B
+    block = bh.shape[1]
+    local_h, local_l = _ds_scan_zero_state(bh, bl, pole_hi, pole_lo)
+
+    pw_h, pw_l = ds_pole_powers(pole, block, dtype)  # runtime, literal-free
+    ab_h, ab_l = _ds_const(_np.float64(pole) ** block, dtype)
+
+    a_h = jnp.broadcast_to(ab_h, (B, rows))
+    a_l = jnp.broadcast_to(ab_l, (B, rows))
+    _, _, c_h, c_l = jax.lax.associative_scan(
+        lambda l, r: _ds_combine(l, r),
+        (a_h, a_l, local_h[:, -1].reshape(B, rows), local_l[:, -1].reshape(B, rows)),
+        axis=1,
+    )
+    zero = jnp.zeros((B, 1), dtype)
+    cin_h = jnp.concatenate([zero, c_h[:, :-1]], axis=1).reshape(B * rows)
+    cin_l = jnp.concatenate([zero, c_l[:, :-1]], axis=1).reshape(B * rows)
+
+    corr = _ds_mul((pw_h[None, :], pw_l[None, :]), (cin_h[:, None], cin_l[:, None]))
+    return _ds_add((local_h, local_l), corr)
 
 
 def lfilter_first_order(

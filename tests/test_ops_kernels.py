@@ -7,6 +7,7 @@ directly against the same scipy call the reference makes.
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -154,6 +155,70 @@ class TestIIR:
         f = iir.FirstOrderFilter(b0=b[0], b1=b[1], a1=a[1])
         got = np.asarray(iir.lfilter_first_order(f, jnp.asarray(x), zi=float(zi[0])))
         np.testing.assert_allclose(got, expected, rtol=1e-9, atol=1e-12)
+
+    @pytest.mark.parametrize("n", [5000, 200000])
+    def test_vmapped_scan_matches_per_row(self, rng, n):
+        """The custom batching rule (batch folded into block rows — the
+        vmapped-farm memory-layout fix) must be numerically identical to
+        scanning each row separately, across both the short and the blocked
+        two-level paths."""
+        pole = 0.999962
+        drives = rng.randn(4, n)
+        want = np.stack(
+            [np.asarray(iir.scan_first_order(jnp.asarray(d), pole)) for d in drives]
+        )
+        got = np.asarray(
+            jax.vmap(lambda d: iir.scan_first_order(d, pole))(jnp.asarray(drives))
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+    @pytest.mark.parametrize("n", [5000, 200000])
+    def test_vmapped_ds_scan_matches_per_row(self, rng, n):
+        pole = 0.999962
+        drives = rng.randn(3, n).astype(np.float32)
+        per_row = [
+            iir.scan_first_order_ds(jnp.asarray(d), jnp.zeros_like(jnp.asarray(d)), pole)
+            for d in drives
+        ]
+        want_h = np.stack([np.asarray(h) for h, _ in per_row])
+        want_l = np.stack([np.asarray(l) for _, l in per_row])
+        got_h, got_l = jax.vmap(
+            lambda d: iir.scan_first_order_ds(d, jnp.zeros_like(d), pole)
+        )(jnp.asarray(drives))
+        np.testing.assert_array_equal(np.asarray(got_h), want_h)
+        np.testing.assert_array_equal(np.asarray(got_l), want_l)
+
+    def test_vmapped_scan_mega_path(self, rng):
+        """The sequential mega-block mode under vmap (per-track ds carries
+        across lax.scan steps)."""
+        old = iir._SEQUENTIAL_LIMIT
+        try:
+            iir._SEQUENTIAL_LIMIT = 1 << 17
+            pole = 0.9997
+            n = (1 << 17) + 12345  # forces the mega path with the test limit
+            drives = rng.randn(2, n)
+            want = np.stack(
+                [np.asarray(iir.scan_first_order(jnp.asarray(d), pole)) for d in drives]
+            )
+            got = np.asarray(
+                jax.vmap(lambda d: iir.scan_first_order(d, pole))(jnp.asarray(drives))
+            )
+            np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+            f32 = drives.astype(np.float32)
+            per_row = [
+                iir.scan_first_order_ds(
+                    jnp.asarray(d), jnp.zeros_like(jnp.asarray(d)), pole
+                )
+                for d in f32
+            ]
+            want_h = np.stack([np.asarray(h) for h, _ in per_row])
+            got_h, _ = jax.vmap(
+                lambda d: iir.scan_first_order_ds(d, jnp.zeros_like(d), pole)
+            )(jnp.asarray(f32))
+            np.testing.assert_array_equal(np.asarray(got_h), want_h)
+        finally:
+            iir._SEQUENTIAL_LIMIT = old
 
 
 class TestSpectrum:
