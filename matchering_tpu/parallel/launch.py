@@ -180,14 +180,73 @@ def master_batch_distributed(
 
 def local_results(global_array) -> List[Tuple[int, np.ndarray]]:
     """(global batch row, host array) for every output row this process
-    owns — the save-side counterpart of the host-sharded load."""
-    rows = {}
+    owns — the save-side counterpart of the host-sharded load.
+
+    Works for pure pairs sharding (each shard carries whole rows) and for
+    the 2-D ``(pairs, time)`` farm, where a row arrives as ``time`` shards
+    that are stitched back together along the sample axis (the time axis is
+    local to one host by :func:`global_mesh` construction, so every owned
+    row is fully addressable)."""
+    pieces = {}
     for shard in global_array.addressable_shards:
         row0 = shard.index[0].start or 0
+        col0 = (shard.index[1].start or 0) if len(shard.index) > 1 else 0
         data = np.asarray(shard.data)
         for i in range(data.shape[0]):
-            rows[row0 + i] = data[i]
-    return sorted(rows.items())
+            pieces.setdefault(row0 + i, {})[col0] = data[i]
+    rows = []
+    for row, chunks in sorted(pieces.items()):
+        parts = [chunks[c] for c in sorted(chunks)]
+        rows.append((row, parts[0] if len(parts) == 1 else np.concatenate(parts)))
+    return rows
+
+
+def master_farm_distributed(
+    targets_local: np.ndarray,
+    references_local: np.ndarray,
+    target_lengths_global: Sequence[int],
+    reference_lengths_global: Sequence[int],
+    config=None,
+    mesh=None,
+    need_default: bool = True,
+    need_no_limiter: bool = False,
+    need_no_limiter_normalized: bool = False,
+):
+    """The 2-D ``(pairs, time)`` farm across processes: pairs cross hosts
+    (DCN), time blocks stay on each host's local chips (ICI).
+
+    Every process passes the bucket-padded pairs it owns
+    (:func:`local_pair_slice` rows of the global batch) plus the *global*
+    length lists (small host metadata every job submitter knows); the global
+    batch is assembled from the local shards and runs through the
+    time-sharded ``timeshard.master_farm`` body.  Returns the global
+    ``MasterOutput`` — pull owned rows with :func:`local_results`, which
+    stitches each row's time shards back together."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..config import Config
+    from .timeshard import master_farm
+
+    config = config or Config()
+    if mesh is None:
+        mesh = global_mesh(time=jax.local_device_count())
+    data_sharding = NamedSharding(mesh, P("pairs", None, None))
+    targets = jax.make_array_from_process_local_data(data_sharding, targets_local)
+    references = jax.make_array_from_process_local_data(
+        data_sharding, references_local
+    )
+    return master_farm(
+        targets,
+        references,
+        config,
+        mesh=mesh,
+        need_default=need_default,
+        need_no_limiter=need_no_limiter,
+        need_no_limiter_normalized=need_no_limiter_normalized,
+        target_lengths=target_lengths_global,
+        reference_lengths=reference_lengths_global,
+    )
 
 
 def agree_bucket(local_max_length: int, multiple: int = 1 << 18) -> int:
@@ -211,7 +270,9 @@ def agree_bucket(local_max_length: int, multiple: int = 1 << 18) -> int:
 # Self-test: N CPU processes vs the single-process answer
 
 
-def _selftest_worker(process_id: int, num_processes: int, port: int) -> None:
+def _selftest_worker(
+    process_id: int, num_processes: int, port: int, time: int = 1
+) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -229,7 +290,7 @@ def _selftest_worker(process_id: int, num_processes: int, port: int) -> None:
 
     config = Config(dtype="float64")
     sr = config.internal_sample_rate
-    total_pairs = len(jax.devices())
+    total_pairs = len(jax.devices()) // time
     secs = [3.0 + 0.7 * i for i in range(total_pairs)]
 
     def synth(seed: int, seconds: float, amp: float) -> np.ndarray:
@@ -243,16 +304,29 @@ def _selftest_worker(process_id: int, num_processes: int, port: int) -> None:
     t_all, t_lens = bucket_pad(targets, multiple=1 << 16)
     r_all, r_lens = bucket_pad(references, multiple=1 << 16)
 
-    mesh = global_mesh(time=1)
+    mesh = global_mesh(time=time)
     start, stop = local_pair_slice(mesh, total_pairs)
-    out = master_batch_distributed(
-        t_all[start:stop],
-        r_all[start:stop],
-        t_lens[start:stop],
-        r_lens[start:stop],
-        config,
-        mesh,
-    )
+    if time > 1:
+        # pairs cross the processes (DCN), time blocks stay on this
+        # process's devices (ICI) — the exact configuration the
+        # global_mesh row-straddle guards exist for (VERDICT r2 item 5)
+        out = master_farm_distributed(
+            t_all[start:stop],
+            r_all[start:stop],
+            t_lens,
+            r_lens,
+            config,
+            mesh,
+        )
+    else:
+        out = master_batch_distributed(
+            t_all[start:stop],
+            r_all[start:stop],
+            t_lens[start:stop],
+            r_lens[start:stop],
+            config,
+            mesh,
+        )
 
     failures = []
     for row, got in local_results(out.result):
@@ -272,9 +346,16 @@ def _selftest_worker(process_id: int, num_processes: int, port: int) -> None:
     print(f"[proc {process_id}] SELFTEST OK", flush=True)
 
 
-def run_selftest(num_processes: int = 2, devices_per_process: int = 2) -> None:
+def run_selftest(
+    num_processes: int = 2, devices_per_process: int = 2, time: int = 1
+) -> None:
     """Spawn ``num_processes`` CPU workers and verify the distributed farm
-    reproduces the single-process master for every pair."""
+    reproduces the single-process master for every pair.
+
+    ``time`` > 1 exercises the 2-D farm: pairs sharded across the processes
+    while each pair's time blocks shard over that process's own devices
+    (e.g. ``--processes 2 --devices_per_process 4 --time 2`` builds a
+    (pairs=4, time=2) mesh with rows crossing the process boundary)."""
     import socket
     import subprocess
     import sys
@@ -300,6 +381,8 @@ def run_selftest(num_processes: int = 2, devices_per_process: int = 2) -> None:
                 str(num_processes),
                 "--port",
                 str(port),
+                "--time",
+                str(time),
             ],
             env=env,
         )
@@ -314,7 +397,9 @@ def run_selftest(num_processes: int = 2, devices_per_process: int = 2) -> None:
         raise SystemExit("selftest timed out — killed remaining workers")
     if any(codes):
         raise SystemExit(f"selftest worker exit codes: {codes}")
-    print(f"multi-host selftest passed ({num_processes} processes)")
+    print(
+        f"multi-host selftest passed ({num_processes} processes, time={time})"
+    )
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
@@ -329,11 +414,18 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     parser.add_argument("--devices_per_process", type=int, default=2)
     parser.add_argument("--process_id", type=int, default=0)
     parser.add_argument("--port", type=int, default=0)
+    parser.add_argument(
+        "--time",
+        type=int,
+        default=1,
+        help="time-axis size of the (pairs, time) mesh (must divide each "
+        "process's local device count)",
+    )
     args = parser.parse_args(argv)
     if args.command == "selftest":
-        run_selftest(args.processes, args.devices_per_process)
+        run_selftest(args.processes, args.devices_per_process, args.time)
     else:
-        _selftest_worker(args.process_id, args.processes, args.port)
+        _selftest_worker(args.process_id, args.processes, args.port, args.time)
     return 0
 
 
