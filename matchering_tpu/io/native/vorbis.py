@@ -263,12 +263,12 @@ def write_ogg(
             def submit(chunk) -> None:
                 if len(chunk):
                     buf = vo.vorbis_analysis_buffer(vd, len(chunk))
+                    # bind each contiguous column before taking .ctypes.data:
+                    # a temporary would be freed the moment the address is
+                    # extracted, and memmove would read reused heap memory
+                    cols = [np.ascontiguousarray(chunk[:, c]) for c in range(channels)]
                     for c in range(channels):
-                        ctypes.memmove(
-                            buf[c],
-                            np.ascontiguousarray(chunk[:, c]).ctypes.data,
-                            len(chunk) * 4,
-                        )
+                        ctypes.memmove(buf[c], cols[c].ctypes.data, len(chunk) * 4)
                 vo.vorbis_analysis_wrote(vd, len(chunk))  # 0 marks end-of-stream
                 while vo.vorbis_analysis_blockout(vd, vb) == 1:
                     vo.vorbis_analysis(vb, None)

@@ -6,6 +6,7 @@ pure compute.  (Multi-chip scaling multiplies this by the pairs axis size;
 cross-pair communication is zero.)
 """
 
+import sys
 import time
 
 import numpy as np
@@ -21,7 +22,8 @@ def main():
 
     enable_compile_cache()
 
-    seconds, sr, B = 180, 44100, 4
+    seconds, sr = 180, 44100
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     rng = np.random.RandomState(7)
     n = seconds * sr
     t = np.arange(n) / sr
