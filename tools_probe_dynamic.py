@@ -38,6 +38,8 @@ def main() -> int:
     fpp_max = mps // config.fft_size + 1
     results = {}
 
+    out_path = f"/tmp/probe_dynamic_{which}_{n}.json"
+
     def timed(name, fn, *args):
         t0 = time.time()
         lowered = jax.jit(fn).lower(*args)
@@ -50,6 +52,10 @@ def main() -> int:
             "hlo_bytes": len(lowered.as_text()),
         }
         print(name, json.dumps(results[name]), flush=True)
+        # bank each component as it lands — remote compiles can take tens
+        # of minutes and a killed run must not lose finished measurements
+        with open(out_path, "w") as f:
+            json.dump({"n": n, "results": results}, f, indent=1)
         return compiled
 
     shape_sig = jax.ShapeDtypeStruct((n,), jnp.float32)
@@ -105,9 +111,9 @@ def main() -> int:
         )
         timed("full_dynamic_graph", full_probe, stereo_sig, stereo_sig, len_sig, len_sig, ops_sig)
 
-    with open(f"/tmp/probe_dynamic_{which}_{n}.json", "w") as f:
+    with open(out_path, "w") as f:
         json.dump({"n": n, "results": results}, f, indent=1)
-    print("WROTE", f"/tmp/probe_dynamic_{which}_{n}.json", flush=True)
+    print("WROTE", out_path, flush=True)
     return 0
 
 
