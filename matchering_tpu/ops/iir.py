@@ -86,6 +86,20 @@ _SEQ_MEGA_ROWS = 128  # sequential mega-block = rows * _SCAN_BLOCK (~4M) samples
 _POWER_COLS = 256  # host-literal length for the runtime power outer product
 
 
+def _fence(x):
+    """``optimization_barrier`` on every scan's drive input.
+
+    Two blocked-scan pyramids in one fusion region send the remote TPU
+    compile service superlinear: at 8M samples ONE ds scan compiles in
+    ~4.5 s but ``filtfilt`` (forward scan -> reverse -> backward scan) did
+    not return in >21 min — and with a barrier between the passes the pair
+    compiles in ~4.4 s (tools_probe_chain.py).  Fencing each scan's input
+    keeps every pyramid its own region; the scan consumes a materialized
+    full-length array either way, so runtime cost is nil (A/B'd on chip).
+    """
+    return jax.lax.optimization_barrier(x)
+
+
 def _pole_powers(pole, block: int, dtype):
     """(pole^1..pole^block, pole^block).  For a host-float pole the powers
     are computed in float64 and correctly rounded per factor — the naive
@@ -151,7 +165,7 @@ def scan_first_order(drive: jax.Array, pole) -> jax.Array:
             d = jnp.broadcast_to(d, (axis_size,) + d.shape)
         return _scan_first_order_batched(d, pole), True
 
-    return scan(drive)
+    return scan(_fence(drive))
 
 
 def _scan_first_order_impl(drive: jax.Array, pole) -> jax.Array:
@@ -477,7 +491,7 @@ def scan_first_order_ds(drive_hi: jax.Array, drive_lo: jax.Array, pole: float):
             dl = jnp.broadcast_to(dl, (axis_size,) + dl.shape)
         return _scan_first_order_ds_batched(dh, dl, pole), (True, True)
 
-    return scan(drive_hi, drive_lo)
+    return scan(*_fence((drive_hi, drive_lo)))
 
 
 def _scan_first_order_ds_impl(drive_hi: jax.Array, drive_lo: jax.Array, pole: float):

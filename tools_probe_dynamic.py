@@ -90,6 +90,68 @@ def main() -> int:
             len_sig,
         )
 
+    if which == "parts":
+        # decompose the truncated limiter: which piece is remote-compile
+        # hostile at large n?  (local XLA compiles the whole thing in ~6 s)
+        from matchering_tpu.ops import iir, sliding
+        from matchering_tpu.utils import ms_to_samples
+
+        fs = config.internal_sample_rate
+        attack = ms_to_samples(config.limiter.attack, fs)
+        hold = ms_to_samples(config.limiter.hold, fs)
+        smoother = iir.one_pole_filter(
+            config.limiter.attack_filter_coefficient, attack
+        )
+        # cheapest-first so a hang on one component still banks the others
+        timed(
+            "scan_first_order",
+            lambda x: iir.scan_first_order(x, 0.999962),
+            shape_sig,
+        )
+        timed(
+            "scan_first_order_ds",
+            lambda x: iir.scan_first_order_ds(x, jnp.zeros_like(x), 0.999962)[0],
+            shape_sig,
+        )
+        timed(
+            "sliding_attack_static",
+            lambda x: sliding.sliding_max_attack(x, attack),
+            shape_sig,
+        )
+        timed(
+            "sliding_hold_static",
+            lambda x: sliding.sliding_max_hold(x, hold),
+            shape_sig,
+        )
+        timed(
+            "filtfilt_static",
+            lambda x: iir.filtfilt_first_order(smoother, x),
+            shape_sig,
+        )
+        timed(
+            "butter_hold_static",
+            lambda x: iir.butter_lowpass(
+                config.limiter.hold_filter_order,
+                config.limiter.hold_filter_coefficient,
+                fs,
+                x,
+            ),
+            shape_sig,
+        )
+        timed(
+            "sliding_attack_truncated",
+            lambda x, l: sliding.sliding_max_attack_truncated(x, attack, l),
+            shape_sig,
+            len_sig,
+        )
+        timed(
+            "filtfilt_truncated",
+            lambda x, l: iir.filtfilt_first_order_truncated(smoother, x, l),
+            shape_sig,
+            len_sig,
+        )
+        timed("limiter_static", lambda a: limit(a, config), stereo_sig)
+
     if which in ("full", "all"):
         from matchering_tpu.ops import smoothing
         from matchering_tpu.stages import master_graph
