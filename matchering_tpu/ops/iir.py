@@ -100,6 +100,40 @@ def _fence(x):
     return jax.lax.optimization_barrier(x)
 
 
+def _ladder_scan(u: jax.Array, pole: float, stride: int = 1) -> jax.Array:
+    """Inclusive first-order scan ``y[i] = u[i] + pole**stride * y[i-1]``
+    along the last axis via the Hillis-Steele shift ladder: ceil(log2(n))
+    shifted multiply-adds with host-scalar coefficients ``pole**(stride*2^k)``.
+
+    Exists because this backend's remote compile service has a pathological
+    pass on ``associative_scan`` pyramids at some shapes: the blocked plain
+    scan at 1M samples compiled in ~60 s for EVERY pole value, fence, and
+    wrapper variant probed, while this ladder — the same inclusive scan as
+    plain shifted multiply-adds — compiled in 0.6 s at the same shape
+    (tools_probe_chain.py, probe_chain_1048576.json).  The ladder does
+    log2(block) full passes (~15 x 4 MB at the 32768 block: sub-ms of HBM
+    traffic) versus the pyramid's ~2 passes — a negligible runtime tax for
+    a two-orders-of-magnitude compile win.
+
+    Coefficients are computed on the host with an *integer* exponent so
+    negative poles stay exact (float exponents of negative bases are nan),
+    correctly rounded once per level.  Host-float poles only — traced poles
+    keep the associative-scan path.
+    """
+    import numpy as _np
+
+    n = u.shape[-1]
+    dtype = u.dtype
+    y = u
+    shift = 1
+    while shift < n:
+        coeff = float(_np.float64(pole)) ** int(stride * shift)
+        pad = [(0, 0)] * (u.ndim - 1) + [(shift, 0)]
+        y = y + jnp.asarray(coeff, dtype) * jnp.pad(y, pad)[..., :n]
+        shift *= 2
+    return y
+
+
 def _pole_powers(pole, block: int, dtype):
     """(pole^1..pole^block, pole^block).  For a host-float pole the powers
     are computed in float64 and correctly rounded per factor — the naive
@@ -135,17 +169,20 @@ def _pole_powers(pole, block: int, dtype):
 def scan_first_order(drive: jax.Array, pole) -> jax.Array:
     """Solve y[i] = drive[i] + pole * y[i-1], y[-1] = 0.
 
-    ``pole`` is ideally a host float (static).  Short signals: one
-    ``associative_scan`` (O(log n) depth).  Long signals: a fully parallel
-    two-level decomposition — vectorized per-block associative scans over a
-    (nblocks, block) view, an associative scan over the nblocks affine
+    ``pole`` is ideally a host float (static), in which case every level
+    runs the :func:`_ladder_scan` shift ladder (O(log n) depth, host-scalar
+    coefficients).  Long signals use a two-level decomposition — per-block
+    ladders over a (nblocks, block) view, a ladder over the nblocks affine
     block summaries, and a broadcast carry correction
-    ``y = local + pole^(i+1) * carry_in``.
+    ``y = local + pole^(i+1) * carry_in``.  Traced poles fall back to
+    ``associative_scan`` pyramids in the same blocking.
 
-    The blocked form exists for the XLA *compiler* as much as the machine:
-    a flat associative scan over millions of samples emits log2(n)
-    full-size HLO stages (~60 s compile per scan on this TPU backend, vs
-    ~5 s blocked) — and the aligned 2-D layout runs no slower.
+    The blocked ladder form exists for the XLA *compiler* as much as the
+    machine: on this backend's remote compile service a flat associative
+    scan over 1M samples hit a ~60 s pathological pass for every pole /
+    fence / wrapper variant probed, while the identical math as shifted
+    multiply-adds compiles in 0.6 s (tools_probe_chain.py) — and the
+    aligned 2-D layout runs no slower.
 
     Under ``vmap`` a custom batching rule folds the batch dimension into the
     *rows* of the 2-D block view instead of letting the mapped axis ride
@@ -172,6 +209,8 @@ def _scan_first_order_impl(drive: jax.Array, pole) -> jax.Array:
     dtype = drive.dtype
     n = drive.shape[0]
     if n <= 2 * _SCAN_BLOCK:
+        if isinstance(pole, (int, float)):
+            return _ladder_scan(drive, pole)
         pole_arr = jnp.asarray(pole, dtype=dtype)
         poles = jnp.broadcast_to(pole_arr, drive.shape)
         _, y = jax.lax.associative_scan(_affine_combine, (poles, drive))
@@ -237,6 +276,8 @@ def _scan_first_order_batched(drive: jax.Array, pole) -> jax.Array:
     dtype = drive.dtype
     B, n = drive.shape
     if n <= 2 * _SCAN_BLOCK:
+        if isinstance(pole, (int, float)):
+            return _ladder_scan(drive, pole)
         pole_arr = jnp.asarray(pole, dtype=dtype)
         poles = jnp.broadcast_to(pole_arr, drive.shape)
         _, y = jax.lax.associative_scan(_affine_combine, (poles, drive), axis=1)
@@ -287,15 +328,24 @@ def _scan_first_order_batched(drive: jax.Array, pole) -> jax.Array:
 def _two_level_batched_zero_state(flat, B, pole, powers, a_block, dtype):
     """Zero-entry-state solution over a (B*rows, block) drive view where
     carries must not cross the B track boundaries.  Local scans are shared;
-    the carry chain runs per track over the (B, rows) summaries."""
+    the carry chain runs per track over the (B, rows) summaries.
+
+    Host-float poles run the :func:`_ladder_scan` form throughout (the
+    associative-scan pyramid trips a ~60 s pathological pass in this
+    backend's remote compiler at 1M-sample shapes — see the ladder's
+    docstring); traced poles keep the pyramid."""
     rows = flat.shape[0] // B
-    poles = jnp.broadcast_to(jnp.asarray(pole, dtype=dtype), flat.shape)
-    _, local = jax.lax.associative_scan(_affine_combine, (poles, flat), axis=1)
-    summaries = local[:, -1].reshape(B, rows)
-    a_vec = jnp.broadcast_to(a_block, (B, rows))
-    _, carries = jax.lax.associative_scan(
-        _affine_combine, (a_vec, summaries), axis=1
-    )
+    block = flat.shape[1]
+    if isinstance(pole, (int, float)):
+        local = _ladder_scan(flat, pole)
+        carries = _ladder_scan(local[:, -1].reshape(B, rows), pole, stride=block)
+    else:
+        poles = jnp.broadcast_to(jnp.asarray(pole, dtype=dtype), flat.shape)
+        _, local = jax.lax.associative_scan(_affine_combine, (poles, flat), axis=1)
+        a_vec = jnp.broadcast_to(a_block, (B, rows))
+        _, carries = jax.lax.associative_scan(
+            _affine_combine, (a_vec, local[:, -1].reshape(B, rows)), axis=1
+        )
     carry_in = jnp.concatenate(
         [jnp.zeros((B, 1), dtype), carries[:, :-1]], axis=1
     ).reshape(B * rows)
@@ -304,13 +354,23 @@ def _two_level_batched_zero_state(flat, B, pole, powers, a_block, dtype):
 
 def _two_level_zero_state(blocks, pole, powers, a_block, dtype):
     """Zero-entry-state solution over a (rows, block) drive view: parallel
-    per-row associative scans + a scan over the row affine summaries +
-    broadcast carry correction."""
-    rows = blocks.shape[0]
-    poles = jnp.broadcast_to(jnp.asarray(pole, dtype=dtype), blocks.shape)
-    _, local = jax.lax.associative_scan(_affine_combine, (poles, blocks), axis=1)
-    a_vec = jnp.broadcast_to(a_block, (rows,))
-    _, carries = jax.lax.associative_scan(_affine_combine, (a_vec, local[:, -1]))
+    per-row local scans + a scan over the row affine summaries + broadcast
+    carry correction.  Host-float poles use :func:`_ladder_scan` for both
+    levels (compile-friendly on this backend); traced poles keep the
+    associative-scan pyramid."""
+    rows, block = blocks.shape
+    if isinstance(pole, (int, float)):
+        local = _ladder_scan(blocks, pole)
+        carries = _ladder_scan(local[:, -1], pole, stride=block)
+    else:
+        poles = jnp.broadcast_to(jnp.asarray(pole, dtype=dtype), blocks.shape)
+        _, local = jax.lax.associative_scan(
+            _affine_combine, (poles, blocks), axis=1
+        )
+        a_vec = jnp.broadcast_to(a_block, (rows,))
+        _, carries = jax.lax.associative_scan(
+            _affine_combine, (a_vec, local[:, -1])
+        )
     carry_in = jnp.concatenate([jnp.zeros((1,), dtype), carries[:-1]])
     return local + powers[None, :] * carry_in[:, None]
 
