@@ -3,10 +3,12 @@
 The only truly sequential computations in the whole mastering chain are the
 limiter's five first-order IIR passes (reference
 ``matchering/limiter/hyrax.py:48-75``).  On TPU we express each linear
-recurrence ``y[i] = u[i] + p * y[i-1]`` as a ``jax.lax.associative_scan``
-over affine maps ``(p, u)`` — O(n) work at O(log n) depth, fully
-vectorizable, and block-decomposable for time sharding (the per-block carry
-is a single affine map, see ``parallel/timeshard.py``).
+recurrence ``y[i] = u[i] + p * y[i-1]`` as an O(log n)-depth parallel
+prefix: a Hillis-Steele shift ladder with host-scalar ``p^(2^k)``
+coefficients for static poles (see :func:`_ladder_scan` for why not
+``associative_scan`` on this backend), fully vectorizable and
+block-decomposable for time sharding (the per-block carry is a single
+affine map, see ``parallel/timeshard.py``).
 
 Semantics reproduced exactly:
 
@@ -485,35 +487,48 @@ def ds_pole_powers(pole: float, n: int, dtype):
     return _ds_mul((h0, l0), (ph, pl))
 
 
-def _ds_scan_zero_state(drive_hi, drive_lo, pole_hi, pole_lo):
-    """associative_scan of the ds affine maps along the last axis."""
-    shape = drive_hi.shape
-    ph = jnp.broadcast_to(pole_hi, shape)
-    plo = jnp.broadcast_to(pole_lo, shape)
-    _, _, uh, ul = jax.lax.associative_scan(
-        lambda l, r: _ds_combine(l, r), (ph, plo, drive_hi, drive_lo), axis=-1
-    )
-    return uh, ul
+def _ds_scan_zero_state(drive_hi, drive_lo, pole, stride: int = 1):
+    """Compensated inclusive scan ``y[i] = u[i] + pole**stride * y[i-1]``
+    along the last axis as a double-single Hillis-Steele shift ladder.
+
+    Same rationale as :func:`_ladder_scan` (the associative-scan pyramid
+    trips a pathological remote-compile pass and emits ~10x the HLO), with
+    every step's multiply-add carried in ds arithmetic.  The per-level
+    coefficient ``pole**(stride*2^k)`` is split from one host float64 —
+    correctly rounded, tighter than the pyramid's accumulated ds products
+    of the base pole.  ``pole`` must be a host float (every ds caller's
+    contract already)."""
+    import numpy as _np
+
+    n = drive_hi.shape[-1]
+    dtype = drive_hi.dtype
+    yh, yl = drive_hi, drive_lo
+    shift = 1
+    while shift < n:
+        c64 = float(_np.float64(pole)) ** int(stride * shift)
+        ch, cl = _ds_const(c64, dtype)
+        pad = [(0, 0)] * (drive_hi.ndim - 1) + [(shift, 0)]
+        sh = jnp.pad(yh, pad)[..., :n]
+        sl = jnp.pad(yl, pad)[..., :n]
+        yh, yl = _ds_add((yh, yl), _ds_mul((ch, cl), (sh, sl)))
+        shift *= 2
+    return yh, yl
 
 
-def _ds_two_level(bh, bl, pole, pole_hi, pole_lo, dtype):
+def _ds_two_level(bh, bl, pole, dtype):
     """Zero-entry-state ds solution over a (rows, block) drive view:
     per-row ds scans + a ds scan over the row affine summaries + broadcast
     carry correction.  Returns (y_hi, y_lo) of shape (rows, block)."""
     import numpy as _np
 
     rows, block = bh.shape
-    local_h, local_l = _ds_scan_zero_state(bh, bl, pole_hi, pole_lo)
+    local_h, local_l = _ds_scan_zero_state(bh, bl, pole)
 
     pw_h, pw_l = ds_pole_powers(pole, block, dtype)  # runtime, literal-free
-    ab_h, ab_l = _ds_const(_np.float64(pole) ** block, dtype)
 
-    # carry chain over row summaries (rows entries, ds affine maps)
-    a_h = jnp.broadcast_to(ab_h, (rows,))
-    a_l = jnp.broadcast_to(ab_l, (rows,))
-    _, _, c_h, c_l = jax.lax.associative_scan(
-        lambda l, r: _ds_combine(l, r),
-        (a_h, a_l, local_h[:, -1], local_l[:, -1]),
+    # carry chain over row summaries: same recurrence with pole**block
+    c_h, c_l = _ds_scan_zero_state(
+        local_h[:, -1], local_l[:, -1], pole, stride=block
     )
     zero = jnp.zeros((1,), dtype)
     cin_h = jnp.concatenate([zero, c_h[:-1]])
@@ -559,10 +574,9 @@ def _scan_first_order_ds_impl(drive_hi: jax.Array, drive_lo: jax.Array, pole: fl
 
     dtype = drive_hi.dtype
     n = drive_hi.shape[0]
-    pole_hi, pole_lo = _ds_const(_np.float64(pole), dtype)
 
     if n <= 2 * _SCAN_BLOCK:
-        return _ds_scan_zero_state(drive_hi, drive_lo, pole_hi, pole_lo)
+        return _ds_scan_zero_state(drive_hi, drive_lo, pole)
 
     block = _SCAN_BLOCK
 
@@ -591,7 +605,7 @@ def _scan_first_order_ds_impl(drive_hi: jax.Array, drive_lo: jax.Array, pole: fl
         def step(carry, drives):
             dh, dl = drives
             ch, cl = carry
-            y0h, y0l = _ds_two_level(dh, dl, pole, pole_hi, pole_lo, dtype)
+            y0h, y0l = _ds_two_level(dh, dl, pole, dtype)
             corr_h, corr_l = _ds_mul((mp_h, mp_l), (ch, cl))
             yh, yl = _ds_add((y0h, y0l), (corr_h, corr_l))
             new_c = _ds_add(_ds_mul((am_h, am_l), (ch, cl)), (y0h[-1, -1], y0l[-1, -1]))
@@ -605,7 +619,7 @@ def _scan_first_order_ds_impl(drive_hi: jax.Array, drive_lo: jax.Array, pole: fl
     pad = nblocks * block - n
     bh = jnp.pad(drive_hi, (0, pad)).reshape(nblocks, block)
     bl = jnp.pad(drive_lo, (0, pad)).reshape(nblocks, block)
-    y_h, y_l = _ds_two_level(bh, bl, pole, pole_hi, pole_lo, dtype)
+    y_h, y_l = _ds_two_level(bh, bl, pole, dtype)
     return y_h.reshape(-1)[:n], y_l.reshape(-1)[:n]
 
 
@@ -617,10 +631,9 @@ def _scan_first_order_ds_batched(drive_hi, drive_lo, pole: float):
 
     dtype = drive_hi.dtype
     B, n = drive_hi.shape
-    pole_hi, pole_lo = _ds_const(_np.float64(pole), dtype)
 
     if n <= 2 * _SCAN_BLOCK:
-        return _ds_scan_zero_state(drive_hi, drive_lo, pole_hi, pole_lo)
+        return _ds_scan_zero_state(drive_hi, drive_lo, pole)
 
     block = _SCAN_BLOCK
 
@@ -646,7 +659,7 @@ def _scan_first_order_ds_batched(drive_hi, drive_lo, pole: float):
             flat_h = dh.reshape(B * rows, block)
             flat_l = dl.reshape(B * rows, block)
             y0h, y0l = _ds_two_level_batched(
-                flat_h, flat_l, B, pole, pole_hi, pole_lo, dtype
+                flat_h, flat_l, B, pole, dtype
             )
             # carry correction pole^(r*block+c+1)*carry_b, kept 2-D:
             # cin[b,r] = prow[r]*carry[b], then corr = pcol ⊗ cin_flat
@@ -673,28 +686,27 @@ def _scan_first_order_ds_batched(drive_hi, drive_lo, pole: float):
     pad = nblocks * block - n
     bh = jnp.pad(drive_hi, ((0, 0), (0, pad))).reshape(B * nblocks, block)
     bl = jnp.pad(drive_lo, ((0, 0), (0, pad))).reshape(B * nblocks, block)
-    y_h, y_l = _ds_two_level_batched(bh, bl, B, pole, pole_hi, pole_lo, dtype)
+    y_h, y_l = _ds_two_level_batched(bh, bl, B, pole, dtype)
     return y_h.reshape(B, -1)[:, :n], y_l.reshape(B, -1)[:, :n]
 
 
-def _ds_two_level_batched(bh, bl, B, pole, pole_hi, pole_lo, dtype):
+def _ds_two_level_batched(bh, bl, B, pole, dtype):
     """Zero-entry-state ds solution over a (B*rows, block) drive view with
     per-track carry chains over the (B, rows) summaries."""
     import numpy as _np
 
     rows = bh.shape[0] // B
     block = bh.shape[1]
-    local_h, local_l = _ds_scan_zero_state(bh, bl, pole_hi, pole_lo)
+    local_h, local_l = _ds_scan_zero_state(bh, bl, pole)
 
     pw_h, pw_l = ds_pole_powers(pole, block, dtype)  # runtime, literal-free
-    ab_h, ab_l = _ds_const(_np.float64(pole) ** block, dtype)
 
-    a_h = jnp.broadcast_to(ab_h, (B, rows))
-    a_l = jnp.broadcast_to(ab_l, (B, rows))
-    _, _, c_h, c_l = jax.lax.associative_scan(
-        lambda l, r: _ds_combine(l, r),
-        (a_h, a_l, local_h[:, -1].reshape(B, rows), local_l[:, -1].reshape(B, rows)),
-        axis=1,
+    # per-track carry chains over the (B, rows) summaries, pole**block
+    c_h, c_l = _ds_scan_zero_state(
+        local_h[:, -1].reshape(B, rows),
+        local_l[:, -1].reshape(B, rows),
+        pole,
+        stride=block,
     )
     zero = jnp.zeros((B, 1), dtype)
     cin_h = jnp.concatenate([zero, c_h[:, :-1]], axis=1).reshape(B * rows)

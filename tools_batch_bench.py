@@ -43,15 +43,14 @@ def main():
         out = pbatch.master_batch(tb, rb, config)
         return float(jnp.sum(jnp.abs(out.result)))
 
-    # stage inputs on device outside the timed region — the tunnel H2D path
-    # here runs at ~25 MB/s and a production input pipeline overlaps it
-    variants = [
-        (
-            jax.device_put(jnp.asarray(targets * (1 + 0.001 * i))),
-            jax.device_put(jnp.asarray(references)),
-        )
-        for i in range(4)
-    ]
+    # stage ONE batch on device outside the timed region (the tunnel H2D
+    # path runs at ~25 MB/s — at B=16 even a single (t, r) batch is ~2 GB)
+    # and derive the anti-memoization perturbations on device: the tunnel
+    # memoizes byte-identical computations, so every timed rep must differ.
+    tb0 = jax.device_put(jnp.asarray(targets))
+    rb0 = jax.device_put(jnp.asarray(references))
+    scale = jax.jit(lambda b, s: b * s)
+    variants = [(scale(tb0, 1 + 0.001 * i), rb0) for i in range(4)]
     for tb, rb in variants:
         tb.block_until_ready()
 
