@@ -121,6 +121,13 @@ def _ladder_scan(u: jax.Array, pole: float, stride: int = 1) -> jax.Array:
     negative poles stay exact (float exponents of negative bases are nan),
     correctly rounded once per level.  Host-float poles only — traced poles
     keep the associative-scan path.
+
+    Steps are radix-4: each level fuses three shifted multiply-adds into
+    one pass (the window grows 4x per step), halving passes/HBM traffic
+    vs radix-2 — and, measured on chip, removing a residual compile cliff:
+    five chained radix-2 ladders at the 3-min track length cold-compiled
+    in 125 s on the remote service vs 5.2 s radix-4 at identical warm
+    runtime and f32-ulp-identical output (tools_probe_radix.py).
     """
     import numpy as _np
 
@@ -129,10 +136,16 @@ def _ladder_scan(u: jax.Array, pole: float, stride: int = 1) -> jax.Array:
     y = u
     shift = 1
     while shift < n:
-        coeff = float(_np.float64(pole)) ** int(stride * shift)
-        pad = [(0, 0)] * (u.ndim - 1) + [(shift, 0)]
-        y = y + jnp.asarray(coeff, dtype) * jnp.pad(y, pad)[..., :n]
-        shift *= 2
+        acc = y
+        for j in range(1, 4):
+            s = j * shift
+            if s >= n:
+                break
+            coeff = float(_np.float64(pole)) ** int(stride * s)
+            pad = [(0, 0)] * (u.ndim - 1) + [(s, 0)]
+            acc = acc + jnp.asarray(coeff, dtype) * jnp.pad(y, pad)[..., :n]
+        y = acc
+        shift *= 4
     return y
 
 
@@ -505,13 +518,19 @@ def _ds_scan_zero_state(drive_hi, drive_lo, pole, stride: int = 1):
     yh, yl = drive_hi, drive_lo
     shift = 1
     while shift < n:
-        c64 = float(_np.float64(pole)) ** int(stride * shift)
-        ch, cl = _ds_const(c64, dtype)
-        pad = [(0, 0)] * (drive_hi.ndim - 1) + [(shift, 0)]
-        sh = jnp.pad(yh, pad)[..., :n]
-        sl = jnp.pad(yl, pad)[..., :n]
-        yh, yl = _ds_add((yh, yl), _ds_mul((ch, cl), (sh, sl)))
-        shift *= 2
+        ah, al = yh, yl
+        for j in range(1, 4):  # radix-4, see _ladder_scan
+            s = j * shift
+            if s >= n:
+                break
+            c64 = float(_np.float64(pole)) ** int(stride * s)
+            ch, cl = _ds_const(c64, dtype)
+            pad = [(0, 0)] * (drive_hi.ndim - 1) + [(s, 0)]
+            sh = jnp.pad(yh, pad)[..., :n]
+            sl = jnp.pad(yl, pad)[..., :n]
+            ah, al = _ds_add((ah, al), _ds_mul((ch, cl), (sh, sl)))
+        yh, yl = ah, al
+        shift *= 4
     return yh, yl
 
 
