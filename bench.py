@@ -9,7 +9,7 @@ match, FIR EQ via overlap-save block FFT, 4-step RMS correction, Hyrax
 limiter — dispatched as pipelined independent programs (the
 ``parallel.master_pairs`` serving pattern, with the sync checksum fused
 into each program; measured 2.1x the vmapped batch,
-BENCH_EXTRA_r02.json).  The metric is throughput
+BENCH_EXTRA_r03.json).  The metric is throughput
 (audio-seconds mastered per wall second); the reference publishes no
 numbers, so vs_baseline is measured against the BASELINE.json north-star of
 50x realtime per chip.

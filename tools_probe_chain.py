@@ -9,6 +9,12 @@ idle.  So input fences alone do not keep the cost additive; something that
 fuses with a scan's *output* (the reverse, the next drive build, the edge
 scatters) or the misaligned extended length (n+12) is the trigger.
 
+RESOLVED (r3): the probe matrix showed every ``associative_scan``-pyramid
+variant at the 1M shape costs ~60 s (any pole, fence, or wrapper) while the
+analytic Hillis-Steele shift ladder compiles in 0.6 s — the production
+scans now run as radix-4 ladders (``ops/iir.py _ladder_scan`` /
+``_ds_scan_zero_state``; adoption A/B in tools_probe_radix.py).
+
 Each mode compiles ONE component in a fresh process (run under ``timeout``
 so a hang self-terminates) and banks its result to
 /tmp/probe_chain_<n>.json (merged across runs):

@@ -1,6 +1,6 @@
 """Record the extended bench artifacts (VERDICT r1 item 10).
 
-Writes BENCH_EXTRA_r02.json next to BENCH_r*.json with driver-verifiable
+Writes a BENCH_EXTRA_r*.json artifact (see --out) with driver-verifiable
 numbers for: the single-pair flagship, a batch-size sweep, a per-stage
 breakdown, and (with --longform) the 60-min 96 kHz single-chip master.
 
@@ -278,7 +278,7 @@ def main():
         action="store_true",
         help="run only the long-form bench and merge it into an existing --out",
     )
-    parser.add_argument("--out", default="BENCH_EXTRA_r02.json")
+    parser.add_argument("--out", default="BENCH_EXTRA_r03.json")
     parser.add_argument("--skip-sweep", action="store_true")
     args = parser.parse_args()
 
