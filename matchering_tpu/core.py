@@ -22,7 +22,7 @@ from .log import Code, ModuleError, debug, debug_line, info
 from .preview import create_preview
 from .results import Result
 from .stages import main as stages_main
-from .utils import get_temp_folder
+from .utils import ensure_compile_cache, get_temp_folder
 
 
 def _ingest(path: str, role: str, config: Config, temp_folder: str):
@@ -83,6 +83,7 @@ def process(
 ) -> None:
     debug("matchering_tpu — TPU-native audio matching & mastering")
     debug_line()
+    ensure_compile_cache()
     info(Code.INFO_LOADING)
 
     if isinstance(results, Result):

@@ -25,7 +25,7 @@ from .io import load, save
 from .log import Code, ModuleError, debug, debug_line, info
 from .preview import create_preview
 from .results import Result
-from .utils import get_temp_folder
+from .utils import ensure_compile_cache, get_temp_folder
 
 
 @dataclass(frozen=True)
@@ -97,6 +97,7 @@ def process_batch(
 
     debug(f"matchering_tpu farm: {len(jobs)} pairs in one dispatch")
     debug_line()
+    ensure_compile_cache()
     info(Code.INFO_LOADING)
 
     targets, references = [], []

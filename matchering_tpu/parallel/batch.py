@@ -147,6 +147,9 @@ def master_pairs(
         target_lengths = [t.shape[0] for t in targets]
         reference_lengths = [r.shape[0] for r in references]
     from ..ops import smoothing
+    from ..utils import ensure_compile_cache
+
+    ensure_compile_cache()
 
     interp_ops = smoothing.interpolation_operator_arrays(
         config.internal_sample_rate,
@@ -230,6 +233,9 @@ def master_batch(
         target_lengths = jnp.asarray(target_lengths, jnp.int32)
         reference_lengths = jnp.asarray(reference_lengths, jnp.int32)
     from ..ops import smoothing
+    from ..utils import ensure_compile_cache
+
+    ensure_compile_cache()
 
     interp_ops = smoothing.interpolation_operator_arrays(
         config.internal_sample_rate,

@@ -329,6 +329,9 @@ def master(
     ``target_length`` / ``reference_length`` (optional, traced scalars):
     true track lengths of bucket-padded inputs — see ``master_graph``."""
     from .ops import smoothing
+    from .utils import ensure_compile_cache
+
+    ensure_compile_cache()
 
     interp_ops = smoothing.interpolation_operator_arrays(
         config.internal_sample_rate,

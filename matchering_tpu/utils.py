@@ -59,6 +59,51 @@ def enable_compile_cache(path: str = None) -> None:
         pass
 
 
+_compile_cache_checked = False
+
+
+def ensure_compile_cache() -> None:
+    """Default-on persistent compile cache for the library entry points.
+
+    The reference has no compile step, so cold-start parity demands the
+    cache be on for a plain ``mg.process()`` — not just for bench scripts
+    (observed cold compiles on the remote TPU compile service: 623-830 s
+    for the 60-min graph, ~67 s with a warm cache).  Idempotent and cheap
+    after the first call.  Opt out with ``MATCHERING_TPU_NO_COMPILE_CACHE=1``;
+    an explicit ``jax_compilation_cache_dir`` (config or
+    ``JAX_COMPILATION_CACHE_DIR``) is respected and left untouched.
+
+    Cache location: ``MATCHERING_TPU_CACHE_DIR`` if set, else the repo's
+    ``.jax_cache`` when running from a source checkout, else
+    ``~/.cache/matchering_tpu/jax_cache``.
+    """
+    global _compile_cache_checked
+    if _compile_cache_checked:
+        return
+    _compile_cache_checked = True
+    if os.environ.get("MATCHERING_TPU_NO_COMPILE_CACHE", "0") not in ("", "0"):
+        return
+    import jax
+
+    try:
+        if jax.config.jax_compilation_cache_dir:
+            return  # user already configured a cache — keep it
+    except AttributeError:
+        pass
+    path = os.environ.get("MATCHERING_TPU_CACHE_DIR")
+    if path is None:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if os.path.isdir(os.path.join(repo, ".git")) or os.path.isdir(
+            os.path.join(repo, ".jax_cache")
+        ):
+            path = os.path.join(repo, ".jax_cache")
+        else:
+            path = os.path.join(
+                os.path.expanduser("~"), ".cache", "matchering_tpu", "jax_cache"
+            )
+    enable_compile_cache(path)
+
+
 def enable_pallas_vmem_headroom(kib: int = 114688) -> None:
     """Raise libtpu's scoped-VMEM limit so the fused Pallas limiter
     front-end can compile (this backend stack-allocates every Pallas output
