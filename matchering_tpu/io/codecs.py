@@ -27,7 +27,7 @@ from .native import binding as native
 from .native import mp3, vorbis
 
 _WRITE_FORMATS = {
-    "WAV": ("PCM_16", "PCM_24", "PCM_32", "FLOAT", "DOUBLE"),
+    "WAV": ("PCM_16", "PCM_24", "PCM_32", "FLOAT", "DOUBLE", "ALAW", "ULAW"),
     "AIFF": ("PCM_16", "PCM_24", "PCM_32", "FLOAT"),
     "AIF": ("PCM_16", "PCM_24", "PCM_32", "FLOAT"),
     # FLAC via the native C++ codec (matchering_tpu/io/native/flac.cpp)
@@ -96,7 +96,13 @@ def read(path: str) -> Tuple[np.ndarray, int]:
         magic = f.read(12)
     if len(magic) >= 12 and magic[:4] == b"RIFF" and magic[8:12] == b"WAVE":
         if native.available():
-            return native.read_wav(path)
+            try:
+                return native.read_wav(path)
+            except (RuntimeError, OSError):
+                # encodings only the numpy codec knows (G.711 A-law/µ-law)
+                return wav.read(path)
+        return wav.read(path)
+    if len(magic) >= 12 and magic[:4] in (b"RF64", b"BW64") and magic[8:12] == b"WAVE":
         return wav.read(path)
     if len(magic) >= 12 and magic[:4] == b"FORM" and magic[8:12] in (b"AIFF", b"AIFC"):
         return aiff.read(path)
@@ -117,6 +123,7 @@ def write(path: str, array: np.ndarray, sample_rate: int, subtype: str) -> None:
         if native.available() and subtype in ("PCM_16", "PCM_24", "PCM_32", "FLOAT"):
             native.write_wav(path, np.ascontiguousarray(array, dtype=np.float64), sample_rate, subtype)
             return
+        # DOUBLE/ALAW/ULAW subtypes go through the numpy codec
         wav.write(path, array, sample_rate, subtype)
     elif ext in ("AIFF", "AIF"):
         aiff.write(path, array, sample_rate, subtype)

@@ -18,7 +18,50 @@ SUBTYPES = {
     "PCM_32": 4,
     "FLOAT": 4,
     "DOUBLE": 8,
+    "ALAW": 1,
+    "ULAW": 1,
 }
+
+
+def _g711_tables():
+    """Canonical G.711 decode tables (ITU-T G.711 segment/mantissa layout)
+    plus nearest-value encode boundaries.
+
+    Decoding follows the standard expansion formulas into 16-bit linear
+    range (the same mapping libsndfile uses for the reference's ALAW/ULAW
+    subtypes); encoding quantizes to the *nearest* decoded level via
+    ``searchsorted`` on the sorted level midpoints — spec-compliant and
+    exactly self-inverse through the decode table.
+    """
+    codes = np.arange(256, dtype=np.int32)
+
+    # µ-law: complement, then mag = ((mantissa<<3) + 0x84) << exponent, -0x84
+    u = ~codes & 0xFF
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    mag = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    ulaw = np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+    # A-law: xor 0x55; segment 0 is linear, higher segments exponential;
+    # sign bit SET means positive in the canonical table
+    a = codes ^ 0x55
+    seg = (a >> 4) & 0x07
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    alaw = np.where(a & 0x80, t, -t).astype(np.int16)
+
+    def _encoder_plan(table):
+        order = np.argsort(table.astype(np.int32), kind="stable")
+        levels = table.astype(np.int32)[order]
+        mids = (levels[:-1] + levels[1:]) / 2.0
+        return order.astype(np.uint8), mids
+
+    return (ulaw, _encoder_plan(ulaw)), (alaw, _encoder_plan(alaw))
+
+
+(_ULAW_TABLE, (_ULAW_ORDER, _ULAW_MIDS)), (_ALAW_TABLE, (_ALAW_ORDER, _ALAW_MIDS)) = (
+    _g711_tables()
+)
 
 
 def decode_pcm16(raw: bytes, big_endian: bool = False) -> np.ndarray:
@@ -92,12 +135,34 @@ def encode_double(x: np.ndarray, big_endian: bool = False) -> bytes:
     return x.astype(dt).tobytes()
 
 
+def decode_ulaw(raw: bytes, big_endian: bool = False) -> np.ndarray:
+    codes = np.frombuffer(raw, dtype=np.uint8)
+    return _ULAW_TABLE[codes].astype(np.float64) / 32768.0
+
+
+def decode_alaw(raw: bytes, big_endian: bool = False) -> np.ndarray:
+    codes = np.frombuffer(raw, dtype=np.uint8)
+    return _ALAW_TABLE[codes].astype(np.float64) / 32768.0
+
+
+def encode_ulaw(x: np.ndarray, big_endian: bool = False) -> bytes:
+    scaled = np.clip(np.rint(x * 32768.0), -32768, 32767)
+    return _ULAW_ORDER[np.searchsorted(_ULAW_MIDS, scaled)].tobytes()
+
+
+def encode_alaw(x: np.ndarray, big_endian: bool = False) -> bytes:
+    scaled = np.clip(np.rint(x * 32768.0), -32768, 32767)
+    return _ALAW_ORDER[np.searchsorted(_ALAW_MIDS, scaled)].tobytes()
+
+
 DECODERS = {
     "PCM_16": decode_pcm16,
     "PCM_24": decode_pcm24,
     "PCM_32": decode_pcm32,
     "FLOAT": decode_float,
     "DOUBLE": decode_double,
+    "ALAW": decode_alaw,
+    "ULAW": decode_ulaw,
 }
 
 ENCODERS = {
@@ -106,4 +171,6 @@ ENCODERS = {
     "PCM_32": encode_pcm32,
     "FLOAT": encode_float,
     "DOUBLE": encode_double,
+    "ALAW": encode_alaw,
+    "ULAW": encode_ulaw,
 }

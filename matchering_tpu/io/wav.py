@@ -2,8 +2,9 @@
 
 Replaces the ``soundfile.read``/``soundfile.write`` calls of the reference
 (``matchering/loader.py:35``, ``matchering/saver.py:32``) for the WAV format:
-reads PCM 16/24/32, IEEE float/double (including WAVE_FORMAT_EXTENSIBLE),
-writes PCM_16/PCM_24/PCM_32/FLOAT/DOUBLE.  Arrays are float64 frames with
+reads PCM 16/24/32, IEEE float/double, G.711 A-law/µ-law (including
+WAVE_FORMAT_EXTENSIBLE) and RF64/BW64 64-bit containers; writes
+PCM_16/PCM_24/PCM_32/FLOAT/DOUBLE/ALAW/ULAW.  Arrays are float64 frames with
 shape ``(n, channels)`` (``always_2d`` semantics).
 """
 
@@ -18,6 +19,8 @@ from . import pcm
 
 WAVE_FORMAT_PCM = 0x0001
 WAVE_FORMAT_IEEE_FLOAT = 0x0003
+WAVE_FORMAT_ALAW = 0x0006
+WAVE_FORMAT_MULAW = 0x0007
 WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
 
@@ -26,31 +29,42 @@ class WavFormatError(RuntimeError):
 
 
 def _iter_chunks(buf: bytes, start: int, end: int):
+    """Yield (chunk id, body offset, raw declared size) — the declared size
+    is NOT clamped to the buffer (RF64 stores 0xFFFFFFFF as a sentinel);
+    slicing at the use sites clamps naturally."""
     pos = start
     while pos + 8 <= end:
         cid, size = struct.unpack_from("<4sI", buf, pos)
         body = pos + 8
-        yield cid, body, min(size, end - body)
+        yield cid, body, size
         pos = body + size + (size & 1)  # chunks are word-aligned
 
 
 def read(path: str) -> Tuple[np.ndarray, int]:
-    """Read a WAV file -> (float64 array of shape (n, channels), sample_rate)."""
+    """Read a WAV (or RF64/BW64) file -> (float64 (n, channels) array, rate)."""
     with open(path, "rb") as f:
         buf = f.read()
-    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+    is_rf64 = len(buf) >= 12 and buf[:4] in (b"RF64", b"BW64") and buf[8:12] == b"WAVE"
+    if not is_rf64 and (len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE"):
         raise WavFormatError("unknown format: not a RIFF/WAVE stream")
 
+    # RF64 (EBU Tech 3306): the 32-bit riff/data sizes are 0xFFFFFFFF and the
+    # true 64-bit sizes live in a 'ds64' chunk that precedes 'fmt '
+    ds64_data_size = None
     fmt = None
     data = None
     for cid, body, size in _iter_chunks(buf, 12, len(buf)):
-        if cid == b"fmt ":
+        if cid == b"ds64" and size >= 16:
+            _riff_size, ds64_data_size = struct.unpack_from("<qq", buf, body)
+        elif cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", buf, body)
             if fmt[0] == WAVE_FORMAT_EXTENSIBLE and size >= 40:
                 # SubFormat GUID's first two bytes carry the actual format tag
                 (sub_tag,) = struct.unpack_from("<H", buf, body + 24)
                 fmt = (sub_tag,) + fmt[1:]
         elif cid == b"data":
+            if size == 0xFFFFFFFF and ds64_data_size is not None:
+                size = ds64_data_size
             data = buf[body : body + size]
     if fmt is None or data is None:
         raise WavFormatError("unknown format: missing fmt/data chunk")
@@ -63,6 +77,10 @@ def read(path: str) -> Tuple[np.ndarray, int]:
         decoder = {16: pcm.decode_pcm16, 24: pcm.decode_pcm24, 32: pcm.decode_pcm32}.get(bits)
     elif tag == WAVE_FORMAT_IEEE_FLOAT:
         decoder = {32: pcm.decode_float, 64: pcm.decode_double}.get(bits)
+    elif tag == WAVE_FORMAT_ALAW:
+        decoder = pcm.decode_alaw if bits == 8 else None
+    elif tag == WAVE_FORMAT_MULAW:
+        decoder = pcm.decode_ulaw if bits == 8 else None
     else:
         decoder = None
     if decoder is None:
@@ -84,16 +102,22 @@ def write(path: str, array: np.ndarray, sample_rate: int, subtype: str = "PCM_16
 
     channels = array.shape[1]
     bits = pcm.SUBTYPES[subtype] * 8
-    tag = WAVE_FORMAT_IEEE_FLOAT if subtype in ("FLOAT", "DOUBLE") else WAVE_FORMAT_PCM
+    tag = {
+        "FLOAT": WAVE_FORMAT_IEEE_FLOAT,
+        "DOUBLE": WAVE_FORMAT_IEEE_FLOAT,
+        "ALAW": WAVE_FORMAT_ALAW,
+        "ULAW": WAVE_FORMAT_MULAW,
+    }.get(subtype, WAVE_FORMAT_PCM)
     payload = pcm.ENCODERS[subtype](array.reshape(-1))
 
     block_align = channels * (bits // 8)
     byte_rate = sample_rate * block_align
     fmt_body = struct.pack("<HHIIHH", tag, channels, sample_rate, byte_rate, block_align, bits)
-    # float WAVs conventionally carry a fact chunk with the frame count
+    # non-PCM WAVs (float, G.711) conventionally carry a fact chunk with the
+    # frame count
     fact = (
         struct.pack("<4sII", b"fact", 4, array.shape[0])
-        if tag == WAVE_FORMAT_IEEE_FLOAT
+        if tag != WAVE_FORMAT_PCM
         else b""
     )
     chunks = (

@@ -243,3 +243,89 @@ class TestNativeAutoBuild:
             os.rename(moved, lib)
             monkeypatch.setattr(native, "_lib", None)
             monkeypatch.setattr(native, "_load_attempted", False)
+
+
+class TestG711Subtypes:
+    """ALAW/ULAW WAV subtypes — part of libsndfile's format matrix the
+    reference accepts via ``sf.check_format`` (``matchering/results.py:29-34``)."""
+
+    @pytest.mark.parametrize("subtype", ["ALAW", "ULAW"])
+    def test_wav_roundtrip(self, tmp_path, subtype):
+        from matchering_tpu.io import wav
+
+        rng = np.random.RandomState(11)
+        x = np.clip(rng.randn(4000, 2) * 0.3, -1, 1)
+        path = str(tmp_path / "g711.wav")
+        wav.write(path, x, 44100, subtype)
+        y, sr = codecs.read(path)  # dispatch must fall back to the numpy codec
+        assert sr == 44100 and y.shape == x.shape
+        # G.711 is 8-bit log-companded: ~2.4% max error at the top segment
+        assert np.abs(y - x).max() < 0.04
+        assert np.abs(y - x).mean() < 0.005
+
+    @pytest.mark.parametrize("subtype", ["ALAW", "ULAW"])
+    def test_decode_matches_itu_tables(self, subtype):
+        """Decode tables must match the canonical ITU-T G.711 expansion
+        (validated bit-exact against CPython's audioop when present)."""
+        audioop = pytest.importorskip("audioop")
+        from matchering_tpu.io import pcm
+
+        codes = bytes(range(256))
+        ours = (pcm.DECODERS[subtype](codes) * 32768).astype(np.int32)
+        raw = audioop.alaw2lin(codes, 2) if subtype == "ALAW" else audioop.ulaw2lin(codes, 2)
+        theirs = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+        np.testing.assert_array_equal(ours, theirs)
+
+    def test_result_descriptor_accepts_g711(self, tmp_path):
+        r = Result(str(tmp_path / "out.wav"), "ULAW", use_limiter=False)
+        assert r.subtype == "ULAW"
+
+
+class TestRF64:
+    def test_read_rf64_with_ds64_sizes(self, tmp_path):
+        """RF64 (EBU Tech 3306): riff/data sizes are 0xFFFFFFFF sentinels and
+        the true 64-bit sizes live in the ds64 chunk."""
+        import struct
+
+        rng = np.random.RandomState(7)
+        x = np.clip(rng.randn(3000, 2) * 0.5, -1, 1)
+        from matchering_tpu.io import pcm, wav
+
+        payload = pcm.encode_pcm16(x.reshape(-1))
+        fmt_body = struct.pack("<HHIIHH", 1, 2, 48000, 48000 * 4, 4, 16)
+        ds64_body = struct.pack("<qqqI", 0, len(payload), x.shape[0], 0)
+        chunks = (
+            struct.pack("<4sI", b"ds64", len(ds64_body)) + ds64_body
+            + struct.pack("<4sI", b"fmt ", len(fmt_body)) + fmt_body
+            + struct.pack("<4sI", b"data", 0xFFFFFFFF) + payload
+        )
+        path = str(tmp_path / "big.wav")
+        with open(path, "wb") as f:
+            f.write(struct.pack("<4sI4s", b"RF64", 0xFFFFFFFF, b"WAVE"))
+            f.write(chunks)
+        y, sr = codecs.read(path)
+        assert sr == 48000 and y.shape == x.shape
+        np.testing.assert_allclose(y, x, atol=2**-15)
+
+    def test_ds64_data_size_honored_when_data_not_last(self, tmp_path):
+        """The ds64 data size must bound the data chunk even when trailing
+        bytes follow it."""
+        import struct
+
+        x = np.linspace(-0.5, 0.5, 2000)[:, None].repeat(2, 1)
+        from matchering_tpu.io import pcm, wav
+
+        payload = pcm.encode_pcm16(x.reshape(-1))
+        fmt_body = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+        ds64_body = struct.pack("<qqqI", 0, len(payload), x.shape[0], 0)
+        chunks = (
+            struct.pack("<4sI", b"ds64", len(ds64_body)) + ds64_body
+            + struct.pack("<4sI", b"fmt ", len(fmt_body)) + fmt_body
+            + struct.pack("<4sI", b"data", 0xFFFFFFFF) + payload + b"JUNKJUNK"
+        )
+        path = str(tmp_path / "big2.wav")
+        with open(path, "wb") as f:
+            f.write(struct.pack("<4sI4s", b"RF64", 0xFFFFFFFF, b"WAVE"))
+            f.write(chunks)
+        y, sr = codecs.read(path)
+        assert y.shape == x.shape
