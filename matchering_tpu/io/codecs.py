@@ -6,13 +6,14 @@ formats to supported subtypes and dispatches reads/writes to the fastest
 available backend.  Backends, in preference order:
 
 1. the native C++ codec (``matchering_tpu/io/native``), when built;
-2. the pure numpy WAV/AIFF codecs in this package;
-3. the system libvorbis via ctypes for OGG/Vorbis read *and* write
-   (``matchering_tpu/io/native/vorbis.py``) — the reference reads Vorbis
-   natively through libsndfile (``matchering/loader.py:35``), so the common
-   lossy-upload case must not require an ffmpeg binary;
-4. an ``ffmpeg`` subprocess for anything else (mp3, opus, caf...), matching
-   the reference's fallback behavior (``matchering/loader.py:50-74``).
+2. the pure numpy WAV/RF64/W64/AIFF/CAF codecs in this package;
+3. system codec libraries via ctypes — libvorbis for OGG/Vorbis read *and*
+   write, libmpg123/LAME for MP3, libopus for Ogg Opus read — the reference
+   reads all of these natively through libsndfile
+   (``matchering/loader.py:35``), so lossy uploads must not require an
+   ffmpeg binary;
+4. an ``ffmpeg`` subprocess for anything else, matching the reference's
+   fallback behavior (``matchering/loader.py:50-74``).
 """
 
 from __future__ import annotations
@@ -22,9 +23,9 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from . import aiff, wav
+from . import aiff, caf, w64, wav
 from .native import binding as native
-from .native import mp3, vorbis
+from .native import mp3, opus, vorbis
 
 _WRITE_FORMATS = {
     "WAV": ("PCM_16", "PCM_24", "PCM_32", "FLOAT", "DOUBLE", "ALAW", "ULAW"),
@@ -32,6 +33,9 @@ _WRITE_FORMATS = {
     "AIF": ("PCM_16", "PCM_24", "PCM_32", "FLOAT"),
     # FLAC via the native C++ codec (matchering_tpu/io/native/flac.cpp)
     "FLAC": ("PCM_16", "PCM_24"),
+    # pure numpy containers (io/w64.py, io/caf.py)
+    "W64": ("PCM_16", "PCM_24", "PCM_32", "FLOAT", "DOUBLE", "ALAW", "ULAW"),
+    "CAF": ("PCM_16", "PCM_24", "PCM_32", "FLOAT", "DOUBLE", "ALAW", "ULAW"),
 }
 
 # Formats written by transcoding a staging WAV through ffmpeg (the write-side
@@ -41,17 +45,6 @@ _FFMPEG_WRITE_FORMATS = {
     "OGG": {"VORBIS": ["-c:a", "libvorbis", "-qscale:a", "8"]},
     "MP3": {"MPEG_LAYER_III": ["-c:a", "libmp3lame", "-b:a", "320k"]},
     "OPUS": {"OPUS": ["-c:a", "libopus", "-b:a", "256k"]},
-    "CAF": {
-        "PCM_16": ["-c:a", "pcm_s16be"],
-        "PCM_24": ["-c:a", "pcm_s24be"],
-        "FLOAT": ["-c:a", "pcm_f32be"],
-    },
-    "W64": {
-        "PCM_16": ["-c:a", "pcm_s16le"],
-        "PCM_24": ["-c:a", "pcm_s24le"],
-        "FLOAT": ["-c:a", "pcm_f32le"],
-        "DOUBLE": ["-c:a", "pcm_f64le"],
-    },
 }
 
 
@@ -78,10 +71,11 @@ def check_format(fmt: str, subtype: Optional[str] = None) -> bool:
 
 
 def is_lossy_container(path: str) -> bool:
-    """True for containers whose audio is lossy-compressed (OGG, MP3) —
-    drives the loader's lossy-source advisory even when the file decodes
+    """True for containers whose audio is lossy-compressed (OGG, Opus, MP3)
+    — drives the loader's lossy-source advisory even when the file decodes
     natively (the reference only warns on its ffmpeg path, but the source
-    is just as lossy when libsndfile decodes it directly)."""
+    is just as lossy when libsndfile decodes it directly).  ``is_ogg``
+    matches both Vorbis and Opus streams (shared OggS framing)."""
     return vorbis.is_ogg(path) or mp3.is_mp3(path)
 
 
@@ -93,7 +87,7 @@ def read(path: str) -> Tuple[np.ndarray, int]:
     the same contract the reference relies on (``matchering/loader.py:39-41``).
     """
     with open(path, "rb") as f:
-        magic = f.read(12)
+        magic = f.read(16)  # 16 bytes: Wave64's riff GUID is the longest sniff
     if len(magic) >= 12 and magic[:4] == b"RIFF" and magic[8:12] == b"WAVE":
         if native.available():
             try:
@@ -108,8 +102,17 @@ def read(path: str) -> Tuple[np.ndarray, int]:
         return aiff.read(path)
     if len(magic) >= 4 and magic[:4] == b"fLaC" and native.available():
         return native.read_flac(path)
-    if len(magic) >= 4 and magic[:4] == b"OggS" and vorbis.available():
-        return vorbis.read_ogg(path)
+    if len(magic) >= 4 and magic[:4] == b"caff":
+        return caf.read(path)
+    if w64.is_w64(magic):
+        return w64.read(path)
+    if len(magic) >= 4 and magic[:4] == b"OggS":
+        # OggS frames both Vorbis and Opus — sniff the first packet
+        if opus.is_opus(path):
+            if opus.available():
+                return opus.read_opus(path)
+        elif vorbis.available():
+            return vorbis.read_ogg(path)
     # MP3 last: its frame-sync sniff is heuristic, every real magic above
     # has already been ruled out by this point
     if mp3.available() and mp3.is_mp3(path):
@@ -131,6 +134,10 @@ def write(path: str, array: np.ndarray, sample_rate: int, subtype: str) -> None:
         if not native.available():
             raise RuntimeError("FLAC output needs the native codec (io/native)")
         native.write_flac(path, np.ascontiguousarray(array, dtype=np.float64), sample_rate, subtype)
+    elif ext == "W64":
+        w64.write(path, array, sample_rate, subtype)
+    elif ext == "CAF":
+        caf.write(path, array, sample_rate, subtype)
     elif ext == "OGG" and vorbis.available() and subtype.upper() == "VORBIS":
         vorbis.write_ogg(path, array, sample_rate)
     elif ext == "MP3" and mp3.write_available() and subtype.upper() == "MPEG_LAYER_III":

@@ -28,6 +28,20 @@ class WavFormatError(RuntimeError):
     pass
 
 
+def decoder_for(tag: int, bits: int):
+    """PCM decoder for a WAVEFORMAT tag/bit-depth pair, or None.  Shared by
+    the RIFF/WAVE and Sony Wave64 containers (same fmt chunk layout)."""
+    if tag == WAVE_FORMAT_PCM:
+        return {16: pcm.decode_pcm16, 24: pcm.decode_pcm24, 32: pcm.decode_pcm32}.get(bits)
+    if tag == WAVE_FORMAT_IEEE_FLOAT:
+        return {32: pcm.decode_float, 64: pcm.decode_double}.get(bits)
+    if tag == WAVE_FORMAT_ALAW:
+        return pcm.decode_alaw if bits == 8 else None
+    if tag == WAVE_FORMAT_MULAW:
+        return pcm.decode_ulaw if bits == 8 else None
+    return None
+
+
 def _iter_chunks(buf: bytes, start: int, end: int):
     """Yield (chunk id, body offset, raw declared size) — the declared size
     is NOT clamped to the buffer (RF64 stores 0xFFFFFFFF as a sentinel);
@@ -73,16 +87,7 @@ def read(path: str) -> Tuple[np.ndarray, int]:
     if channels < 1:
         raise WavFormatError("invalid channel count")
 
-    if tag == WAVE_FORMAT_PCM:
-        decoder = {16: pcm.decode_pcm16, 24: pcm.decode_pcm24, 32: pcm.decode_pcm32}.get(bits)
-    elif tag == WAVE_FORMAT_IEEE_FLOAT:
-        decoder = {32: pcm.decode_float, 64: pcm.decode_double}.get(bits)
-    elif tag == WAVE_FORMAT_ALAW:
-        decoder = pcm.decode_alaw if bits == 8 else None
-    elif tag == WAVE_FORMAT_MULAW:
-        decoder = pcm.decode_ulaw if bits == 8 else None
-    else:
-        decoder = None
+    decoder = decoder_for(tag, bits)
     if decoder is None:
         raise WavFormatError(f"unsupported WAV encoding: tag={tag} bits={bits}")
 

@@ -329,3 +329,271 @@ class TestRF64:
             f.write(chunks)
         y, sr = codecs.read(path)
         assert y.shape == x.shape
+
+
+class TestW64:
+    """Sony Wave64 — the reference reads/writes it natively via libsndfile
+    (``matchering/loader.py:35``); here it is a pure numpy codec (io/w64.py)."""
+
+    @pytest.mark.parametrize(
+        "subtype, tol",
+        [
+            ("PCM_16", 2**-15),
+            ("PCM_24", 2**-23),
+            ("PCM_32", 2**-31),
+            ("FLOAT", 2**-24),
+            ("DOUBLE", 1e-15),
+        ],
+    )
+    def test_roundtrip(self, tmp_path, rng, subtype, tol):
+        from matchering_tpu.io import w64
+
+        x = np.clip(rng.randn(5000, 2) * 0.4, -1, 1)
+        path = str(tmp_path / "t.w64")
+        w64.write(path, x, 44100, subtype)
+        y, sr = codecs.read(path)  # magic dispatch, not extension
+        assert sr == 44100 and y.shape == x.shape
+        np.testing.assert_allclose(y, x, atol=tol)
+
+    def test_codecs_write_dispatch_and_format_table(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("PATH", str(tmp_path))  # no ffmpeg anywhere
+        assert codecs.check_format("W64", "PCM_24")
+        assert codecs.check_format("W64", "DOUBLE")
+        x = np.linspace(-0.5, 0.5, 3000)[:, None].repeat(2, 1)
+        r = Result(str(tmp_path / "out.w64"), "PCM_24")
+        codecs.write(r.file, x, 96000, r.subtype)
+        y, sr = codecs.read(r.file)
+        assert sr == 96000
+        np.testing.assert_allclose(y, x, atol=2**-23)
+
+    def test_chunk_alignment_is_8_bytes(self, tmp_path):
+        """A frame count that makes the data chunk size odd mod 8 must still
+        produce a parseable file (chunks pad to 8-byte boundaries)."""
+        from matchering_tpu.io import w64
+
+        x = np.ones((1001, 1)) * 0.25
+        path = str(tmp_path / "odd.w64")
+        w64.write(path, x, 22050, "PCM_16")
+        y, sr = w64.read(path)
+        assert y.shape == (1001, 1) and sr == 22050
+
+
+class TestCAF:
+    """Apple Core Audio Format — reference parity via libsndfile
+    (``matchering/loader.py:35``); pure numpy codec (io/caf.py)."""
+
+    @pytest.mark.parametrize(
+        "subtype, tol",
+        [
+            ("PCM_16", 2**-15),
+            ("PCM_24", 2**-23),
+            ("FLOAT", 2**-24),
+            ("DOUBLE", 1e-15),
+            ("ALAW", 0.04),
+            ("ULAW", 0.04),
+        ],
+    )
+    def test_roundtrip(self, tmp_path, rng, subtype, tol):
+        from matchering_tpu.io import caf
+
+        x = np.clip(rng.randn(4000, 2) * 0.3, -1, 1)
+        path = str(tmp_path / "t.caf")
+        caf.write(path, x, 48000, subtype)
+        y, sr = codecs.read(path)
+        assert sr == 48000 and y.shape == x.shape
+        np.testing.assert_allclose(y, x, atol=tol)
+
+    def test_little_endian_lpcm_read(self, tmp_path):
+        """CAF carries an endianness flag; little-endian lpcm must decode."""
+        import struct
+
+        from matchering_tpu.io import pcm
+
+        x = np.linspace(-0.9, 0.9, 2000)[:, None].repeat(2, 1)
+        payload = pcm.encode_pcm16(x.reshape(-1))  # little-endian
+        desc = struct.pack(">d4sIIIII", 44100.0, b"lpcm", 2, 4, 1, 2, 16)
+        path = str(tmp_path / "le.caf")
+        with open(path, "wb") as f:
+            f.write(b"caff" + struct.pack(">HH", 1, 0))
+            f.write(b"desc" + struct.pack(">q", len(desc)) + desc)
+            f.write(b"data" + struct.pack(">qI", 4 + len(payload), 0) + payload)
+        y, sr = codecs.read(path)
+        assert sr == 44100
+        np.testing.assert_allclose(y, x, atol=2**-15)
+
+    def test_unknown_data_size_reads_to_eof(self, tmp_path):
+        """A data chunk size of -1 means 'to end of file' (streamed CAFs)."""
+        import struct
+
+        from matchering_tpu.io import pcm
+
+        x = np.linspace(-0.5, 0.5, 1500)[:, None].repeat(2, 1)
+        payload = pcm.encode_pcm16(x.reshape(-1), big_endian=True)
+        desc = struct.pack(">d4sIIIII", 44100.0, b"lpcm", 0, 4, 1, 2, 16)
+        path = str(tmp_path / "eof.caf")
+        with open(path, "wb") as f:
+            f.write(b"caff" + struct.pack(">HH", 1, 0))
+            f.write(b"desc" + struct.pack(">q", len(desc)) + desc)
+            f.write(b"data" + struct.pack(">q", -1) + struct.pack(">I", 0) + payload)
+        y, sr = codecs.read(path)
+        assert y.shape == x.shape
+        np.testing.assert_allclose(y, x, atol=2**-15)
+
+    def test_codecs_write_dispatch_and_format_table(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("PATH", str(tmp_path))  # no ffmpeg anywhere
+        assert codecs.check_format("CAF", "PCM_24")
+        assert codecs.check_format("CAF", "FLOAT")
+        x = np.zeros((800, 2))
+        r = Result(str(tmp_path / "out.caf"), "FLOAT")
+        codecs.write(r.file, x, 44100, r.subtype)
+        y, sr = codecs.read(r.file)
+        assert y.shape == x.shape
+
+
+def _encode_oggopus(path, audio, pre_skip_override=None):
+    """Test-only OggOpus encoder: libopus packets + hand-rolled Ogg pages
+    (RFC 3533 framing, RFC 7845 headers).  48 kHz float input, family 0."""
+    import ctypes
+    import ctypes.util
+    import struct
+
+    lib = ctypes.CDLL(ctypes.util.find_library("opus") or "libopus.so.0")
+    lib.opus_encoder_create.restype = ctypes.c_void_p
+    lib.opus_encoder_create.argtypes = [
+        ctypes.c_int32, ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int)
+    ]
+    lib.opus_encode_float.restype = ctypes.c_int32
+    lib.opus_encode_float.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int32,
+    ]
+    lib.opus_encoder_destroy.argtypes = [ctypes.c_void_p]
+
+    # Ogg CRC32: poly 0x04C11DB7, MSB-first, zero init, no final xor
+    table = np.zeros(256, dtype=np.uint32)
+    for i in range(256):
+        r = np.uint32(i << 24)
+        for _ in range(8):
+            r = np.uint32(((int(r) << 1) ^ (0x04C11DB7 if int(r) & 0x80000000 else 0)) & 0xFFFFFFFF)
+        table[i] = r
+
+    def crc(data):
+        r = 0
+        for b in data:
+            r = ((r << 8) & 0xFFFFFFFF) ^ int(table[((r >> 24) ^ b) & 0xFF])
+        return r
+
+    seq = [0]
+
+    def page(packets, granule, header_type):
+        lacing = b""
+        body = b""
+        for p in packets:
+            lacing += bytes([255] * (len(p) // 255) + [len(p) % 255])
+            body += p
+        hdr = struct.pack(
+            "<4sBBqIII B", b"OggS", 0, header_type, granule, 0xBEEF, seq[0], 0, len(lacing)
+        ) + lacing
+        seq[0] += 1
+        full = hdr + body
+        c = crc(full)
+        return full[:22] + struct.pack("<I", c) + full[26:]
+
+    ch = audio.shape[1]
+    err = ctypes.c_int(0)
+    enc = lib.opus_encoder_create(48000, ch, 2049, ctypes.byref(err))  # APPLICATION_AUDIO
+    assert enc and err.value == 0
+    look = ctypes.c_int32(312 if pre_skip_override is None else pre_skip_override)
+    try:  # variadic ctl: OPUS_GET_LOOKAHEAD_REQUEST = 4027; pointer args
+        # must be wrapped explicitly or ctypes truncates them to c_int
+        lib.opus_encoder_ctl(ctypes.c_void_p(enc), ctypes.c_int(4027), ctypes.byref(look))
+    except Exception:
+        pass
+    pre_skip = int(look.value)
+
+    # pad to cover n + pre_skip decoded samples: the codec delays its output
+    # by pre_skip, so the tail only flushes through extra trailing frames
+    n = audio.shape[0]
+    frames = np.zeros(((n + pre_skip + 959) // 960 * 960, ch), dtype=np.float32)
+    frames[:n] = audio
+    out = (ctypes.c_ubyte * 4096)()
+    pages = []
+    head = b"OpusHead" + struct.pack("<BBHIhB", 1, ch, pre_skip, 48000, 0, 0)
+    tags = b"OpusTags" + struct.pack("<I", 4) + b"test" + struct.pack("<I", 0)
+    pages.append(page([head], 0, 0x02))  # BOS
+    pages.append(page([tags], 0, 0))
+    pkts = []
+    try:
+        for i in range(0, frames.shape[0], 960):
+            block = np.ascontiguousarray(frames[i : i + 960])
+            nb = lib.opus_encode_float(
+                enc, block.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), 960, out, 4096
+            )
+            assert nb > 0
+            pkts.append(bytes(out[:nb]))
+    finally:
+        lib.opus_encoder_destroy(enc)
+    for i, p in enumerate(pkts):
+        last = i == len(pkts) - 1
+        # granule counts raw decoded samples (incl. the pre-skip region);
+        # the final page's is clamped to pre_skip + true length, which is
+        # how RFC 7845 signals end trimming
+        granule = (pre_skip + n) if last else (i + 1) * 960
+        pages.append(page([p], granule, 0x04 if last else 0))
+    with open(path, "wb") as f:
+        f.write(b"".join(pages))
+    return pre_skip
+
+
+class TestOpusRead:
+    """Ogg Opus decode via libopus ctypes (io/native/opus.py) — the
+    reference decodes .opus through libsndfile (``matchering/loader.py:35``);
+    previously this repo needed an ffmpeg binary for it."""
+
+    @pytest.fixture(autouse=True)
+    def _need_libopus(self):
+        from matchering_tpu.io.native import opus
+
+        if not opus.available():
+            pytest.skip("libopus not present on this host")
+
+    def test_decode_sine(self, tmp_path):
+        from matchering_tpu.io.native import opus
+
+        t = np.arange(48000 * 2) / 48000.0
+        x = np.stack(
+            [0.5 * np.sin(2 * np.pi * 440 * t), 0.5 * np.sin(2 * np.pi * 554 * t)], axis=1
+        )
+        path = str(tmp_path / "tone.opus")
+        _encode_oggopus(path, x)
+        assert opus.is_opus(path)
+        y, sr = codecs.read(path)  # dispatch must pick opus, not vorbis
+        assert sr == 48000
+        assert y.shape == x.shape  # granule end-trim recovers the exact length
+        # lossy codec: gate on normalized correlation per channel
+        for c in range(2):
+            a, b = x[:, c], y[:, c]
+            corr = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+            assert corr > 0.97, f"channel {c} correlation {corr}"
+
+    def test_lossy_advisory_and_loader(self, tmp_path):
+        """The loader must decode .opus natively and fire the lossy event."""
+        from matchering_tpu.io import loader
+
+        t = np.arange(24000) / 48000.0
+        x = np.stack([0.3 * np.sin(2 * np.pi * 220 * t)] * 2, axis=1)
+        path = str(tmp_path / "up.opus")
+        _encode_oggopus(path, x)
+        assert codecs.is_lossy_container(path)
+        y, sr = loader.load(path, "target", str(tmp_path))
+        assert sr == 48000 and y.shape[0] == x.shape[0]
+
+    def test_mono(self, tmp_path):
+        from matchering_tpu.io.native import opus
+
+        t = np.arange(9600) / 48000.0
+        x = (0.4 * np.sin(2 * np.pi * 330 * t))[:, None]
+        path = str(tmp_path / "mono.opus")
+        _encode_oggopus(path, x)
+        y, sr = opus.read_opus(path)
+        assert y.shape == x.shape and sr == 48000
