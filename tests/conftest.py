@@ -52,6 +52,11 @@ def snr():
 # LOWESS oracle, resampy/soundfile -> inert shims).  The reference tree is
 # read-only and nothing from it is copied into this repo; it is executed as a
 # black-box numerical oracle only.
+#
+# Off this box (public CI), the oracle is the published package instead:
+# ``pip install matchering==2.0.6`` brings the real statsmodels/resampy/
+# soundfile along, so no stubs are needed and the parity claims stay
+# reproducible outside the dev environment (VERDICT r3 item 8).
 
 
 @pytest.fixture(scope="session")
@@ -60,9 +65,15 @@ def reference_matchering():
     import types
 
     if not os.path.isdir("/root/reference/matchering"):
+        try:
+            import matchering as published  # the PyPI oracle, if installed
+
+            return published
+        except ImportError:
+            pass
         pytest.skip(
-            "reference oracle not available (/root/reference missing — "
-            "oracle parity tests run only in the dev environment)"
+            "reference oracle not available (install matchering==2.0.6 or "
+            "mount /root/reference to run the parity tests)"
         )
 
     import oracle_lowess

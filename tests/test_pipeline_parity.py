@@ -252,3 +252,57 @@ class TestEdgeLengths:
         ours = run_ours(target, reference, cfg, need_default=True)
         value = snr(ref_result, np.asarray(ours.result))
         assert value > 70.0, f"exact-multiple SNR {value:.1f} dB"
+
+
+class TestUntestedKnobs:
+    """VERDICT r3 item 7: `lowess_exact` and non-default internal sample
+    rates were config surface without coverage."""
+
+    def test_lowess_exact_matches_oracle_delta_zero(
+        self, tracks, reference_matchering, snr
+    ):
+        """`lowess_exact=True` computes LOWESS at every grid point — the
+        reference equivalent is `lowess_delta=0` (`matchering/defaults.py:77`,
+        `dsp.py:103-106`)."""
+        target, reference = tracks
+        ref_cfg = reference_matchering.Config(lowess_delta=0.0)
+        ref_result, _, _ = reference_matchering.stages.main(
+            target.copy(), reference.copy(), ref_cfg, True, False, False
+        )
+        cfg = mg.Config(dtype="float64", lowess_exact=True)
+        ours = run_ours(target, reference, cfg, need_default=True)
+        value = snr(ref_result, np.asarray(ours.result))
+        assert value > 70.0, f"lowess_exact SNR {value:.1f} dB"
+
+    def test_lowess_exact_close_to_delta_path(self, tracks, snr):
+        """delta-skipping is an approximation of the exact fit: the two
+        full-chain outputs must agree closely (the delta interpolation error
+        is far below the matching tolerances)."""
+        target, reference = tracks
+        exact = run_ours(
+            target, reference, mg.Config(dtype="float64", lowess_exact=True),
+            need_default=True,
+        )
+        approx = run_ours(
+            target, reference, mg.Config(dtype="float64"), need_default=True
+        )
+        value = snr(np.asarray(exact.result), np.asarray(approx.result))
+        assert value > 40.0, f"exact vs delta paths diverged: {value:.1f} dB"
+
+    def test_internal_sample_rate_48k_full_chain(self, reference_matchering, snr):
+        """Full-chain oracle parity at `internal_sample_rate=48000`
+        (`matchering/defaults.py:64`): every grid (piece sizes, FFT bins,
+        limiter time constants) re-parameterizes on the internal rate.
+        Tracks are generated at 48 kHz so neither side needs to resample
+        (the oracle's resampy is a raising stub)."""
+        rng = np.random.RandomState(4242)
+        target = make_track(rng, 15.0, sr=48000, kind="target")
+        reference = make_track(rng, 13.0, sr=48000, kind="ref")
+        ref_cfg = reference_matchering.Config(internal_sample_rate=48000)
+        ref_result, _, _ = reference_matchering.stages.main(
+            target.copy(), reference.copy(), ref_cfg, True, False, False
+        )
+        cfg = mg.Config(dtype="float64", internal_sample_rate=48000)
+        ours = run_ours(target, reference, cfg, need_default=True)
+        value = snr(ref_result, np.asarray(ours.result))
+        assert value > 70.0, f"48k internal SNR {value:.1f} dB"
