@@ -784,13 +784,19 @@ def _master_sharded_body(
     result = basics.ms_to_lr(result_mid, result_side)
 
     # Stage 3: RMS correction ----------------------------------------------
+    # Rescales folded into the clip threshold (see stages.py stage 3):
+    # statistics from the unscaled shard with threshold 1/c, one final
+    # scale pass over the stereo shard.
+    c_total = jnp.asarray(1.0, dtype)
     for step in range(config.rms_correction_steps):
-        clipped = basics.clip(result_mid)
+        clipped = basics.clip(result_mid, 1.0 / c_total)
         _, clipped_match_rms = piece_stats(clipped, t_piece, t_div, t_div_max)
-        coefficient = r_match_rms / jnp.maximum(config.min_value, clipped_match_rms)
+        coefficient = r_match_rms / jnp.maximum(
+            config.min_value, c_total * clipped_match_rms
+        )
         report[f"rms_correction_{step + 1}"] = coefficient
-        result_mid = result_mid * coefficient
-        result = result * coefficient
+        c_total = c_total * coefficient
+    result = result * c_total
 
     # Stage 4: finalize ------------------------------------------------------
     result_no_limiter_normalized = None

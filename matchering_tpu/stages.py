@@ -253,8 +253,16 @@ def master_graph(
     result = basics.ms_to_lr(result_mid, convolved[1])
 
     # --- Stage 3: RMS correction (stages.py:138-170), static unroll ---
+    # The per-step rescales are folded into the clip threshold:
+    # ``clip(c*x, 1) = c * clip(x, 1/c)`` and piece RMS is homogeneous, so
+    # each step's statistics come from the *unscaled* mid channel with a
+    # scaled threshold and one final scale pass touches the stereo track —
+    # instead of 4x (mono + stereo) full-track rescale passes (measured in
+    # ROOFLINE.json rms_correction device time).  Within 1 ulp per step of
+    # the reference's iterative rescale.
+    c_total = jnp.asarray(1.0, dtype)
     for step in range(config.rms_correction_steps):
-        clipped = basics.clip(result_mid)
+        clipped = basics.clip(result_mid, 1.0 / c_total)
         if t_division.div_max is None:
             clipped_rmses = basics.piece_rms_flat(
                 clipped, t_division.piece_size, t_division.divisions
@@ -267,10 +275,12 @@ def master_graph(
             _, clipped_match_rms = basics.loudest_piece_stats_masked(
                 clipped_rmses, clipped_valid, t_division.divisions
             )
-        coefficient = r_match_rms / jnp.maximum(config.min_value, clipped_match_rms)
+        coefficient = r_match_rms / jnp.maximum(
+            config.min_value, c_total * clipped_match_rms
+        )
         report[f"rms_correction_{step + 1}"] = coefficient
-        result_mid = result_mid * coefficient
-        result = result * coefficient
+        c_total = c_total * coefficient
+    result = result * c_total
 
     # --- Stage 4: finalize (stages.py:173-207) ---
     result_no_limiter_normalized = None
