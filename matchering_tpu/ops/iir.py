@@ -396,12 +396,63 @@ def _two_level_zero_state(blocks, pole, powers, a_block, dtype):
 # A first-order recurrence with pole p stored in float32 accumulates a
 # relative error of ~k * eps32 in the p^k terms; for the limiter's release
 # filter (p ≈ 0.999962, decay length ~26k samples) that saturates around
-# 3e-4 — the float32 pipeline's accuracy floor (~70 dB).  Carrying every
-# affine coefficient as an unevaluated float32 pair (hi, lo) restores
-# ~double accuracy at ~6x the (negligible) scan flop count.  Error-free
-# transforms use Dekker splitting, no FMA required.
+# 3e-4 — the float32 pipeline's accuracy floor (~70 dB).  Two engines restore
+# ~double accuracy:
+#
+# * "refine" (default): one step of iterative refinement over the *plain*
+#   f32 ladder scan — y0 = scan(d); r = d + p*shift(y0) - y0 computed
+#   exactly with error-free transforms (one elementwise pass); e = scan(r);
+#   return two_sum(y0, e).  The linear recurrence makes the defect equation
+#   exact: y - y0 = scan(r), so the only error is the plain scan's own
+#   (~135 dB relative) applied to the tiny residual (~1e-7 of the signal) —
+#   measured >=216 dB vs float64 across the limiter pole/length matrix
+#   (tools in /tmp/proto_refine.py history; gated by
+#   tests/test_ops_kernels.py).  Cost: ~2.2 plain passes.  On chip the ds
+#   ladder measured 3.5 ms vs 0.19 ms plain at 7.9M samples (ROOFLINE.json
+#   r4) — the refinement claws back ~18x on the limiter's two dominant
+#   kernels.
+# * "ladder": every ladder multiply-add carried in double-single (Dekker
+#   EFT) arithmetic end to end — measured ~284 dB, kept as the reference
+#   engine and selectable with MATCHERING_TPU_DS_ENGINE=ladder.
 
 _DS_POLE_THRESHOLD = 0.99  # use the compensated scan beyond this pole
+
+
+def _ds_engine() -> str:
+    import os
+
+    return os.environ.get("MATCHERING_TPU_DS_ENGINE", "refine")
+
+
+def _refined_ds(drive_hi, drive_lo, pole, scan_impl):
+    """One iterative-refinement step over the plain scan engine; returns a
+    normalized (hi, lo) float32 pair summing to the compensated solution of
+    ``y[i] = drive_hi[i] + drive_lo[i] + pole * y[i-1]`` (zero entry state).
+
+    ``scan_impl`` is the plain zero-state engine matching the drive's rank
+    (:func:`_scan_first_order_impl` for 1-D, :func:`_scan_first_order_batched`
+    for (B, n)).  The residual is computed against the exact recurrence with
+    the pole held as a correctly-rounded float32 pair, so ladder coefficient
+    rounding and scan accumulation error are both captured; the second scan
+    is fenced (see :func:`_fence` — chained pyramids in one fusion region
+    trip the remote compiler)."""
+    import numpy as _np
+
+    dtype = drive_hi.dtype
+    p64 = _np.float64(pole)
+    ph_f = _np.float32(p64)
+    ph = jnp.asarray(ph_f, dtype)
+    pl = jnp.asarray(_np.float32(p64 - _np.float64(ph_f)), dtype)
+
+    y0 = scan_impl(drive_hi + drive_lo, pole)
+    pad = [(0, 0)] * (y0.ndim - 1) + [(1, 0)]
+    prev = jnp.pad(y0, pad)[..., : y0.shape[-1]]
+    t, e1 = _two_prod(ph, prev)
+    s1, e2 = _two_sum(t, drive_hi)
+    s2, e3 = _two_sum(s1, -y0)
+    r = s2 + ((((e1 + e2) + e3) + drive_lo) + pl * prev)
+    e = scan_impl(_fence(r), pole)
+    return _two_sum(y0, e)
 
 
 def _two_sum(a, b):
@@ -591,6 +642,9 @@ def scan_first_order_ds(drive_hi: jax.Array, drive_lo: jax.Array, pole: float):
 def _scan_first_order_ds_impl(drive_hi: jax.Array, drive_lo: jax.Array, pole: float):
     import numpy as _np
 
+    if _ds_engine() == "refine":
+        return _refined_ds(drive_hi, drive_lo, pole, _scan_first_order_impl)
+
     dtype = drive_hi.dtype
     n = drive_hi.shape[0]
 
@@ -647,6 +701,9 @@ def _scan_first_order_ds_batched(drive_hi, drive_lo, pole: float):
     :func:`scan_first_order_ds`.  Same batch-into-rows folding as
     :func:`_scan_first_order_batched`; carries stay per track."""
     import numpy as _np
+
+    if _ds_engine() == "refine":
+        return _refined_ds(drive_hi, drive_lo, pole, _scan_first_order_batched)
 
     dtype = drive_hi.dtype
     B, n = drive_hi.shape

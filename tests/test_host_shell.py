@@ -401,12 +401,19 @@ class TestCompileCacheDefault:
         monkeypatch.setattr(
             utils, "enable_compile_cache", lambda *a, **k: calls.append(a)
         )
+        # earlier suite tests legitimately leave the cache configured — this
+        # test asserts the fresh-process behavior, so start unconfigured
+        prior = jax.config.jax_compilation_cache_dir
+        jax.config.update("jax_compilation_cache_dir", None)
         n = 44100
         t = str(tmp_path / "t.wav")
         r = str(tmp_path / "r.wav")
         wav.write(t, np.clip(rng.randn(n, 2) * 0.1, -1, 1), 44100, "FLOAT")
         wav.write(r, np.clip(rng.randn(n, 2) * 0.5, -1, 1), 44100, "FLOAT")
-        mg.process(t, r, [mg.pcm16(str(tmp_path / "out.wav"))], mg.Config())
+        try:
+            mg.process(t, r, [mg.pcm16(str(tmp_path / "out.wav"))], mg.Config())
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prior)
         assert calls, "process() never configured the persistent compile cache"
 
 

@@ -188,6 +188,40 @@ class TestIIR:
         np.testing.assert_array_equal(np.asarray(got_h), want_h)
         np.testing.assert_array_equal(np.asarray(got_l), want_l)
 
+    @pytest.mark.parametrize("pole", [0.9997, 0.999962, 0.9999915])
+    def test_refined_ds_scan_accuracy(self, rng, pole):
+        """The iterative-refinement compensated-scan engine (default) must
+        hold ~double accuracy at the limiter's near-unit poles: the defect
+        equation of a linear recurrence is exact, so the plain scan's error
+        only ever applies to the ~1e-7-relative residual.  Gate well above
+        the float32 collapse floor the pipeline actually consumes."""
+        n = 200_000
+        d = rng.randn(n).astype(np.float32)
+        ref = np.asarray(iir.scan_first_order(jnp.asarray(d.astype(np.float64)), pole))
+        h, l = iir.scan_first_order_ds(
+            jnp.asarray(d), jnp.zeros(n, np.float32), pole
+        )
+        got = np.asarray(h, np.float64) + np.asarray(l, np.float64)
+        err = ref - got
+        snr = 10 * np.log10(np.sum(ref**2) / max(np.sum(err**2), 1e-300))
+        assert snr > 180.0, f"refined ds scan SNR {snr:.1f} dB at pole {pole}"
+
+    def test_refined_matches_ladder_engine(self, rng, monkeypatch):
+        """Both compensated-scan engines solve the same recurrence: their
+        collapsed outputs must agree to the f32 collapse floor."""
+        pole = 0.999962
+        n = 150_000
+        d = jnp.asarray(rng.randn(n).astype(np.float32))
+        zero = jnp.zeros(n, np.float32)
+        monkeypatch.setenv("MATCHERING_TPU_DS_ENGINE", "refine")
+        h_r, l_r = iir.scan_first_order_ds(d, zero, pole)
+        refined = np.asarray(h_r, np.float64) + np.asarray(l_r, np.float64)
+        monkeypatch.setenv("MATCHERING_TPU_DS_ENGINE", "ladder")
+        h_d, l_d = iir.scan_first_order_ds(d, zero, pole)
+        ladder = np.asarray(h_d, np.float64) + np.asarray(l_d, np.float64)
+        scale = np.max(np.abs(ladder))
+        np.testing.assert_allclose(refined, ladder, atol=2e-7 * scale, rtol=0)
+
     def test_vmapped_scan_mega_path(self, rng):
         """The sequential mega-block mode under vmap (per-track ds carries
         across lax.scan steps)."""
