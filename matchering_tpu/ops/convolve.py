@@ -88,10 +88,83 @@ def fft_convolve_same(
     return out[start : start + n]
 
 
+def _convolve_blocked_packed2(
+    signals: jax.Array, firs: jax.Array, block_fft: int
+) -> jax.Array:
+    """Overlap-save 'same' convolution of a channel PAIR through one
+    complex FFT per block: ``z = ch0 + i*ch1`` (both channels ride one
+    c2c transform), the per-channel spectra are recovered with the
+    Hermitian split ``fft(ch0) = (Z + conj(Z[-k]))/2``, multiplied by their
+    own FIR spectra, and repacked so one c2c inverse returns ch0 in the
+    real part and ch1 in the imaginary part.
+
+    This matters because the backend lowers ``rfft``/``irfft`` as FULL-size
+    complex transforms anyway (native irfft is UNIMPLEMENTED outright —
+    see ops/fftpack.py; measured PROBE_FFT.json: rfft over (121, 65536)
+    costs 1.39 ms device vs 0.85 ms for the half-length c2c it should be).
+    Packing halves the transform count of the chain's hottest stage: 2
+    transforms per block for the stereo pair instead of 4.  Matches
+    ``scipy.signal.fftconvolve(x, fir, "same")`` per channel to ~eps
+    (the split/repack is exact in exact arithmetic).
+    """
+    from .blocks import overlapping_blocks
+
+    n = signals.shape[1]
+    taps = firs.shape[1]
+    full = n + taps - 1
+    start = (taps - 1) // 2
+    nfft = block_fft
+    discard = -(-(taps - 1) // 128) * 128  # see fft_convolve_same
+    hop = nfft - discard
+    nblocks = -(-full // hop)
+
+    z = jax.lax.complex(signals[0], signals[1])
+    padded = jnp.pad(z, (discard, (nblocks + 1) * hop - n - discard))
+    blocks = overlapping_blocks(padded, nblocks, hop, nfft)
+
+    # full-length Hermitian FIR spectra (tiny: one nfft-point transform per
+    # channel, once per call)
+    h0 = jnp.fft.fft(jax.lax.complex(firs[0], jnp.zeros_like(firs[0])), n=nfft)
+    h1 = jnp.fft.fft(jax.lax.complex(firs[1], jnp.zeros_like(firs[1])), n=nfft)
+
+    def per_block(block):
+        Z = jnp.fft.fft(block)
+        # conj(Z[(nfft - k) % nfft]); the reversed segment is barriered out
+        # of the pad/concat fusion (the TPU fusion emitter CHECK-fails on
+        # reverse-input windows under vmap — same guard as fftpack.irfft)
+        tail = Z[..., :0:-1]
+        tail = jax.lax.optimization_barrier(tail)
+        Zm = jnp.conj(jnp.concatenate([Z[..., :1], tail], axis=-1))
+        spec0 = 0.5 * (Z + Zm)
+        spec1 = -0.5j * (Z - Zm)
+        Q = spec0 * h0 + 1j * (spec1 * h1)
+        q = jnp.fft.ifft(Q)
+        return jnp.stack([jnp.real(q), jnp.imag(q)])[:, discard:]
+
+    if nblocks > 2 * _CONV_CHUNK:
+        segs = jax.lax.map(per_block, blocks, batch_size=_CONV_CHUNK)
+    else:
+        segs = jax.vmap(per_block)(blocks)
+    out = jnp.moveaxis(segs, 1, 0).reshape(2, -1)
+    out = out[:, start : start + n]
+    return out.astype(signals.dtype)
+
+
 def fft_convolve_same_batch(
     signals: jax.Array, firs: jax.Array, block_fft: int = 1 << 16
 ) -> jax.Array:
-    """Batched 'same' convolution: signals (c, n) with firs (c, taps)."""
+    """Batched 'same' convolution: signals (c, n) with firs (c, taps).
+
+    Channel pairs route through :func:`_convolve_blocked_packed2` (both
+    channels in one complex transform — half the FFTs); other channel
+    counts and the short single-FFT path fall back to the per-channel
+    form."""
+    n = signals.shape[1]
+    taps = firs.shape[1]
+    if taps > block_fft // 2:
+        block_fft = _next_pow2(2 * taps)
+    if signals.shape[0] == 2 and _next_pow2(n + taps - 1) > block_fft:
+        return _convolve_blocked_packed2(signals, firs, block_fft)
     return jax.vmap(fft_convolve_same, in_axes=(0, 0, None))(
         signals, firs, block_fft
     )

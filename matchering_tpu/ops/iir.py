@@ -452,7 +452,11 @@ def _refined_ds(drive_hi, drive_lo, pole, scan_impl):
     s2, e3 = _two_sum(s1, -y0)
     r = s2 + ((((e1 + e2) + e3) + drive_lo) + pl * prev)
     e = scan_impl(_fence(r), pole)
-    return _two_sum(y0, e)
+    # returned UNNORMALIZED: y0 + e is the compensated solution, and every
+    # consumer either collapses the pair (same f32 rounding either way) or
+    # runs ds ops that accept arbitrary pairs — skipping the two_sum saves
+    # a full-track normalize pass per scan
+    return y0, e
 
 
 def _two_sum(a, b):

@@ -148,6 +148,36 @@ def _interp_from_anchors(plan: LowessPlan, fitted: jax.Array, dtype) -> jax.Arra
     return (1.0 - w) * fitted[left] + w * fitted[right]
 
 
+def linear_operator(n: int, frac: float, delta: float):
+    """The ``it=0`` LOWESS smoother as a pair of dense float64 matrices:
+    ``smooth(y, frac, 0, delta) == W @ (F @ y)`` exactly (both maps are
+    linear in the data: F holds each anchor's WLS prediction row in its
+    window columns, W the anchor->grid linear interpolation).
+
+    Exists for the TPU: the direct device path gathers an (anchors, k)
+    window tensor out of ``y`` and TPU gathers are pathologically slow —
+    measured 2.36 ms per 8193-point smooth on a v5e, i.e. ~1/6 of the
+    whole 3-min mastering chain, vs ~0.05 ms for the equivalent matmuls
+    (PROBE_ANALYSIS.json).  The matrices fold into the lin<->log
+    interpolation operators host-side (``smoothing``), so the fused
+    device graph never sees LOWESS as a separate op.  Only for
+    ``delta > 0`` (anchors subset; ``lowess_exact`` keeps the direct
+    path) and ``it == 0`` (robustness iterations are data-dependent)."""
+    plan = plan_lowess(n, float(frac), float(delta))
+    na = plan.anchors.shape[0]
+    F = np.zeros((na, n))
+    for i, s in enumerate(plan.window_starts):
+        F[i, s : s + plan.k] = plan.fit_rows[i]
+    W = np.zeros((n, na))
+    idx = np.arange(n)
+    left = plan.interp_left
+    right = np.minimum(left + 1, na - 1)
+    w = plan.interp_weight
+    W[idx, left] += 1.0 - w
+    W[idx, right] += w
+    return W, F
+
+
 def smooth(y: jax.Array, frac: float, it: int = 0, delta: float = 0.001) -> jax.Array:
     """LOWESS-smooth ``y`` sampled on ``linspace(0, 1, len(y))``.
 

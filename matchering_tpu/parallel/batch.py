@@ -151,12 +151,7 @@ def master_pairs(
 
     ensure_compile_cache()
 
-    interp_ops = smoothing.interpolation_operator_arrays(
-        config.internal_sample_rate,
-        config.fft_size,
-        config.lin_log_oversampling,
-        jnp.dtype(config.dtype),
-    )
+    interp_ops = smoothing.operator_arrays_for_config(config)
     if devices is not None:
         devices = list(devices)
         # stage the shared smoothing operators once per device, not per pair
@@ -237,12 +232,7 @@ def master_batch(
 
     ensure_compile_cache()
 
-    interp_ops = smoothing.interpolation_operator_arrays(
-        config.internal_sample_rate,
-        config.fft_size,
-        config.lin_log_oversampling,
-        jnp.dtype(config.dtype),
-    )
+    interp_ops = smoothing.operator_arrays_for_config(config)
     return _master_vmapped(
         targets,
         references,

@@ -159,12 +159,7 @@ def master_batch_distributed(
 
     from ..ops import smoothing
 
-    interp_ops = smoothing.interpolation_operator_arrays(
-        config.internal_sample_rate,
-        config.fft_size,
-        config.lin_log_oversampling,
-        jnp.dtype(config.dtype),
-    )
+    interp_ops = smoothing.operator_arrays_for_config(config)
     return _master_vmapped(
         targets,
         references,
@@ -271,8 +266,28 @@ def agree_bucket(local_max_length: int, multiple: int = 1 << 18) -> int:
 
 
 def _selftest_worker(
-    process_id: int, num_processes: int, port: int, time: int = 1
+    process_id: int,
+    num_processes: int,
+    port: int,
+    time: int = 1,
+    pairs: Optional[int] = None,
+    dtype: str = "float64",
+    check: Optional[int] = None,
+    encode: int = 0,
+    report_path: Optional[str] = None,
 ) -> None:
+    """One CPU worker of the distributed selftest.
+
+    Defaults reproduce the original selftest (one pair per mesh row,
+    ~3-5 s float64 tracks, every pair checked).  The scale knobs run the
+    BASELINE acceptance configs (1024-pair farm): ``pairs`` overrides the
+    global batch size with short (~0.6-1 s) tracks, ``check`` limits the
+    single-process oracle comparison to an evenly-sampled subset (the full
+    check is O(pairs) single-pair graphs), ``encode`` writes that many
+    sampled owned results to WAV (ownership + encode proof), and
+    ``report_path`` makes each process dump a JSON row with wall times."""
+    import time as _time
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -288,24 +303,32 @@ def _selftest_worker(
     from ..stages import master_graph
     from .batch import bucket_pad
 
-    config = Config(dtype="float64")
+    config = Config(dtype=dtype)
     sr = config.internal_sample_rate
-    total_pairs = len(jax.devices()) // time
-    secs = [3.0 + 0.7 * i for i in range(total_pairs)]
+    scale_mode = pairs is not None
+    total_pairs = pairs if scale_mode else len(jax.devices()) // time
+    if scale_mode:
+        secs = [0.6 + 0.05 * (i % 8) for i in range(total_pairs)]
+    else:
+        secs = [3.0 + 0.7 * i for i in range(total_pairs)]
+
+    np_dtype = np.dtype(dtype)
 
     def synth(seed: int, seconds: float, amp: float) -> np.ndarray:
         r = np.random.RandomState(seed)
         n = int(seconds * sr)
         env = 0.5 + 0.5 * np.sin(np.arange(n) / sr * 2.0)[:, None]
-        return np.clip(amp * r.randn(n, 2) * env, -0.99, 0.99)
+        return np.clip(amp * r.randn(n, 2) * env, -0.99, 0.99).astype(np_dtype)
 
     targets = [synth(10 + i, secs[i], 0.25) for i in range(total_pairs)]
     references = [synth(50 + i, secs[-1 - i], 0.85) for i in range(total_pairs)]
-    t_all, t_lens = bucket_pad(targets, multiple=1 << 16)
-    r_all, r_lens = bucket_pad(references, multiple=1 << 16)
+    multiple = 1 << 15 if scale_mode else 1 << 16
+    t_all, t_lens = bucket_pad(targets, multiple=multiple)
+    r_all, r_lens = bucket_pad(references, multiple=multiple)
 
     mesh = global_mesh(time=time)
     start, stop = local_pair_slice(mesh, total_pairs)
+    t_start = _time.perf_counter()
     if time > 1:
         # pairs cross the processes (DCN), time blocks stay on this
         # process's devices (ICI) — the exact configuration the
@@ -328,26 +351,93 @@ def _selftest_worker(
             mesh,
         )
 
+    owned = local_results(out.result)
+    # force materialization of every owned row before stopping the clock
+    n_owned = len(owned)
+    wall_s = _time.perf_counter() - t_start
+
+    # float64 keeps the original exactness gate; float32 compares against
+    # the float64 single-process graph, so the gate is the f32 pipeline's
+    # accuracy floor (the dtype-gate suite holds it above 95 dB)
+    gate_db = 100.0 if dtype == "float64" else 90.0
+    oracle_config = Config(dtype="float64")
+    if check is None:
+        checked = list(range(n_owned))
+    else:
+        stride = max(1, n_owned // max(1, check))
+        checked = list(range(0, n_owned, stride))[:check]
+
     failures = []
-    for row, got in local_results(out.result):
+    snrs = []
+    for k in checked:
+        row, got = owned[k]
         expected = np.asarray(
             master_graph(
-                jnp.asarray(targets[row]), jnp.asarray(references[row]), config
+                jnp.asarray(targets[row], jnp.float64),
+                jnp.asarray(references[row], jnp.float64),
+                oracle_config,
             ).result
         )
         err = expected - got[: t_lens[row]]
         denom = float(np.sum(err * err))
         snr = np.inf if denom == 0 else 10.0 * np.log10(np.sum(expected**2) / denom)
+        snrs.append(snr)
         print(f"[proc {process_id}] pair {row}: {snr:.1f} dB", flush=True)
-        if snr < 100.0:
+        if snr < gate_db:
             failures.append((row, snr))
+
+    encoded = []
+    if encode:
+        import tempfile
+
+        from ..io.saver import save
+
+        enc_dir = tempfile.mkdtemp(prefix=f"mtpu_farm_p{process_id}_")
+        stride = max(1, n_owned // encode)
+        for k in list(range(0, n_owned, stride))[:encode]:
+            row, got = owned[k]
+            path = os.path.join(enc_dir, f"pair{row:04d}.wav")
+            save(path, got[: t_lens[row]], sr, "PCM_16", "result")
+            encoded.append(path)
+        print(f"[proc {process_id}] encoded {len(encoded)} results", flush=True)
+
+    if report_path:
+        import json
+
+        row_report = {
+            "process": process_id,
+            "processes": num_processes,
+            "devices_per_process": jax.local_device_count(),
+            "time_axis": time,
+            "total_pairs": total_pairs,
+            "owned_pairs": n_owned,
+            "bucket_samples": int(t_all.shape[1]),
+            "dtype": dtype,
+            "wall_s": round(wall_s, 2),
+            "audio_seconds_total": round(float(np.sum(secs)), 1),
+            "checked": len(checked),
+            "min_snr_db": round(min(snrs), 1) if snrs else None,
+            "encoded": encoded,
+        }
+        with open(f"{report_path}.proc{process_id}.json", "w") as f:
+            json.dump(row_report, f, indent=2)
+            f.write("\n")
+
     if failures:
         raise SystemExit(f"[proc {process_id}] SELFTEST FAILED: {failures}")
     print(f"[proc {process_id}] SELFTEST OK", flush=True)
 
 
 def run_selftest(
-    num_processes: int = 2, devices_per_process: int = 2, time: int = 1
+    num_processes: int = 2,
+    devices_per_process: int = 2,
+    time: int = 1,
+    pairs: Optional[int] = None,
+    dtype: str = "float64",
+    check: Optional[int] = None,
+    encode: int = 0,
+    report_path: Optional[str] = None,
+    timeout: float = 600,
 ) -> None:
     """Spawn ``num_processes`` CPU workers and verify the distributed farm
     reproduces the single-process master for every pair.
@@ -355,7 +445,13 @@ def run_selftest(
     ``time`` > 1 exercises the 2-D farm: pairs sharded across the processes
     while each pair's time blocks shard over that process's own devices
     (e.g. ``--processes 2 --devices_per_process 4 --time 2`` builds a
-    (pairs=4, time=2) mesh with rows crossing the process boundary)."""
+    (pairs=4, time=2) mesh with rows crossing the process boundary).
+
+    The scale knobs (``pairs``/``dtype``/``check``/``encode``/
+    ``report_path``) run the BASELINE acceptance configs — e.g.
+    ``pairs=1024, dtype="float32", check=8, encode=2`` is the 1024-pair
+    multi-host farm proof (short tracks, sampled oracle check, sampled
+    WAV encode, per-process JSON rows)."""
     import socket
     import subprocess
     import sys
@@ -368,6 +464,17 @@ def run_selftest(
         os.environ,
         XLA_FLAGS=f"--xla_force_host_platform_device_count={devices_per_process}",
     )
+    extra = []
+    if pairs is not None:
+        extra += ["--pairs", str(pairs)]
+    if dtype != "float64":
+        extra += ["--dtype", dtype]
+    if check is not None:
+        extra += ["--check", str(check)]
+    if encode:
+        extra += ["--encode", str(encode)]
+    if report_path:
+        extra += ["--report_path", report_path]
     workers = [
         subprocess.Popen(
             [
@@ -383,13 +490,14 @@ def run_selftest(
                 str(port),
                 "--time",
                 str(time),
+                *extra,
             ],
             env=env,
         )
         for i in range(num_processes)
     ]
     try:
-        codes = [w.wait(timeout=600) for w in workers]
+        codes = [w.wait(timeout=timeout) for w in workers]
     except subprocess.TimeoutExpired:
         for w in workers:
             if w.poll() is None:
@@ -421,11 +529,54 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         help="time-axis size of the (pairs, time) mesh (must divide each "
         "process's local device count)",
     )
+    parser.add_argument(
+        "--pairs",
+        type=int,
+        default=None,
+        help="scale mode: global batch size with short tracks (the BASELINE "
+        "1024-pair farm config)",
+    )
+    parser.add_argument("--dtype", default="float64")
+    parser.add_argument(
+        "--check",
+        type=int,
+        default=None,
+        help="check only this many evenly-sampled owned pairs against the "
+        "single-process float64 oracle (default: all)",
+    )
+    parser.add_argument(
+        "--encode",
+        type=int,
+        default=0,
+        help="encode this many sampled owned results to WAV (ownership proof)",
+    )
+    parser.add_argument("--report_path", default=None)
+    parser.add_argument("--timeout", type=float, default=600)
     args = parser.parse_args(argv)
     if args.command == "selftest":
-        run_selftest(args.processes, args.devices_per_process, args.time)
+        run_selftest(
+            args.processes,
+            args.devices_per_process,
+            args.time,
+            pairs=args.pairs,
+            dtype=args.dtype,
+            check=args.check,
+            encode=args.encode,
+            report_path=args.report_path,
+            timeout=args.timeout,
+        )
     else:
-        _selftest_worker(args.process_id, args.processes, args.port, args.time)
+        _selftest_worker(
+            args.process_id,
+            args.processes,
+            args.port,
+            args.time,
+            pairs=args.pairs,
+            dtype=args.dtype,
+            check=args.check,
+            encode=args.encode,
+            report_path=args.report_path,
+        )
     return 0
 
 

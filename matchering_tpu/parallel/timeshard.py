@@ -886,12 +886,7 @@ def master_sharded(
 
     from ..ops import smoothing
 
-    interp_ops = smoothing.interpolation_operator_arrays(
-        config.internal_sample_rate,
-        config.fft_size,
-        config.lin_log_oversampling,
-        jnp.dtype(config.dtype),
-    )
+    interp_ops = smoothing.operator_arrays_for_config(config)
     sharded = shard_map(
         body,
         mesh=mesh,
@@ -1004,12 +999,7 @@ def master_farm(
     )
     from ..ops import smoothing
 
-    interp_ops = smoothing.interpolation_operator_arrays(
-        config.internal_sample_rate,
-        config.fft_size,
-        config.lin_log_oversampling,
-        jnp.dtype(config.dtype),
-    )
+    interp_ops = smoothing.operator_arrays_for_config(config)
     if t_div_max is None:
         # static geometry: bake it into the trace (segment counts and frame
         # grids must be compile-time constants on this path)

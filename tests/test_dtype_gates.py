@@ -59,3 +59,27 @@ class TestFloat32FullChain:
 def test_bfloat16_rejected():
     with pytest.raises(ValueError):
         mg.Config(dtype="bfloat16")
+
+
+def test_integer_pcm_inputs_convert_on_device(pair=None):
+    """int16/int32 inputs are accepted by the mastering graph and convert
+    to float ON DEVICE with the libsndfile full-scale convention — the
+    long-form H2D staging fix (half the tunnel bytes for 16-bit masters).
+    Must be bit-identical to pre-converted float input."""
+    sr = 44100
+    n = 5 * sr
+    r = np.random.RandomState(11)
+    t = np.clip(0.3 * r.randn(n, 2), -1, 1)
+    ref = np.clip(0.7 * r.randn(n, 2), -1, 1)
+    t16 = (t * 32768).clip(-32768, 32767).astype(np.int16)
+    r32 = (ref * 2147483648).clip(-2147483648, 2147483647).astype(np.int32)
+    cfg = mg.Config(dtype="float32")
+    o_float = np.asarray(
+        mg.master(
+            t16.astype(np.float32) / 32768.0,
+            r32.astype(np.float64).astype(np.float32) / 2147483648.0,
+            cfg,
+        ).result
+    )
+    o_int = np.asarray(mg.master(t16, r32, cfg).result)
+    np.testing.assert_array_equal(o_float, o_int)
