@@ -325,6 +325,95 @@ class TestConvolve:
         )
         np.testing.assert_allclose(got, expected, rtol=1e-7, atol=1e-8)
 
+    @pytest.mark.parametrize(
+        "n,taps",
+        [
+            (100001, 257),   # odd signal length
+            (100000, 4096),  # even length, production tap count
+            (60000, 8191),   # odd taps near block_fft // 2 (block 1<<14)
+            (60000, 8192),   # even taps exactly at block_fft // 2
+        ],
+    )
+    def test_packed2_matches_fftconvolve_same(self, rng, n, taps):
+        """The packed stereo overlap-save path (both channels through one c2c
+        per block) must match scipy per channel, including odd lengths and
+        taps right at the block-size boundary."""
+        x = rng.randn(2, n)
+        h = rng.randn(2, taps)
+        expected = np.stack(
+            [signal.fftconvolve(x[c], h[c], "same") for c in range(2)]
+        )
+        got = np.asarray(
+            convolve._convolve_blocked_packed2(
+                jnp.asarray(x), jnp.asarray(h), block_fft=1 << 14
+            )
+        )
+        np.testing.assert_allclose(got, expected, rtol=1e-7, atol=1e-8)
+
+    def test_packed2_chunked_map_branch(self, rng, monkeypatch):
+        """Force the lax.map branch (nblocks > 2 * _CONV_CHUNK) that in
+        production only long-form tracks reach, and check it is exact."""
+        monkeypatch.setattr(convolve, "_CONV_CHUNK", 4)
+        x = rng.randn(2, 120000)
+        h = rng.randn(2, 1025)
+        expected = np.stack(
+            [signal.fftconvolve(x[c], h[c], "same") for c in range(2)]
+        )
+        got = np.asarray(
+            convolve._convolve_blocked_packed2(
+                jnp.asarray(x), jnp.asarray(h), block_fft=1 << 12
+            )
+        )
+        np.testing.assert_allclose(got, expected, rtol=1e-7, atol=1e-8)
+
+    def test_batch_dispatch_pairs_vs_fallback(self, rng, monkeypatch):
+        """fft_convolve_same_batch routes stereo long inputs through the
+        packed path and everything else through vmapped per-channel
+        overlap-save — both must agree with scipy."""
+        h = rng.randn(2, 513)
+        for n in (2000, 90000):  # short single-FFT path and blocked path
+            x = rng.randn(2, n)
+            expected = np.stack(
+                [signal.fftconvolve(x[c], h[c], "same") for c in range(2)]
+            )
+            got = np.asarray(
+                convolve.fft_convolve_same_batch(
+                    jnp.asarray(x), jnp.asarray(h), block_fft=1 << 13
+                )
+            )
+            np.testing.assert_allclose(got, expected, rtol=1e-7, atol=1e-8)
+        # 3-channel input cannot pack — per-channel fallback
+        x3 = rng.randn(3, 90000)
+        h3 = rng.randn(3, 513)
+        expected = np.stack(
+            [signal.fftconvolve(x3[c], h3[c], "same") for c in range(3)]
+        )
+        got = np.asarray(
+            convolve.fft_convolve_same_batch(
+                jnp.asarray(x3), jnp.asarray(h3), block_fft=1 << 13
+            )
+        )
+        np.testing.assert_allclose(got, expected, rtol=1e-7, atol=1e-8)
+
+    def test_packed2_chunk_boundary_exact_multiple(self, rng):
+        """nblocks an exact multiple of the hop (no ragged tail block)."""
+        taps = 129
+        block = 1 << 12
+        discard = -(-(taps - 1) // 128) * 128
+        hop = block - discard
+        n = 8 * hop - taps + 1  # full = 8 * hop exactly
+        x = rng.randn(2, n)
+        h = rng.randn(2, taps)
+        expected = np.stack(
+            [signal.fftconvolve(x[c], h[c], "same") for c in range(2)]
+        )
+        got = np.asarray(
+            convolve._convolve_blocked_packed2(
+                jnp.asarray(x), jnp.asarray(h), block_fft=block
+            )
+        )
+        np.testing.assert_allclose(got, expected, rtol=1e-7, atol=1e-8)
+
 
 class TestFlatAnalysisOps:
     def test_piece_rms_flat_matches_unfold(self, rng):
