@@ -85,6 +85,14 @@ def _to_stereo(array: np.ndarray, policy: _RolePolicy) -> np.ndarray:
     raise ModuleError(policy.too_many_channels)
 
 
+def _int_to_float(array: np.ndarray) -> np.ndarray:
+    """Host-side full-scale conversion for staged integer PCM — only used
+    on paths that genuinely need float values on host (resampling)."""
+    if np.issubdtype(array.dtype, np.integer):
+        return array.astype(np.float64) / basics.pcm_int_scale(array.dtype)
+    return array
+
+
 def _to_internal_rate(
     array: np.ndarray, sample_rate: int, config: Config, policy: _RolePolicy
 ) -> Tuple[np.ndarray, int]:
@@ -92,7 +100,7 @@ def _to_internal_rate(
     if sample_rate == internal:
         return array, sample_rate
     debug(f"Rate conversion for {policy.name}: {sample_rate} -> {internal} Hz")
-    converted = np.asarray(resample.resample(array, sample_rate, internal))
+    converted = np.asarray(resample.resample(_int_to_float(array), sample_rate, internal))
     policy.resample_event()
     return converted, internal
 
@@ -129,6 +137,10 @@ def check(
 
 def check_equality(target: np.ndarray, reference: np.ndarray) -> None:
     """Matching a track against itself is meaningless; reject it
-    (reference ``checker.py:140-142``)."""
-    if target.shape == reference.shape and np.allclose(target, reference):
+    (reference ``checker.py:140-142``).  Staged integer PCM compares in the
+    float domain so e.g. the same track as PCM_16 WAV (staged as int16)
+    and as FLAC (decoded to float) is still recognized as equal."""
+    if target.shape == reference.shape and np.allclose(
+        _int_to_float(target), _int_to_float(reference)
+    ):
         raise ModuleError(Code.ERROR_TARGET_EQUALS_REFERENCE)

@@ -26,8 +26,14 @@ from .utils import ensure_compile_cache, get_temp_folder
 
 
 def _ingest(path: str, role: str, config: Config, temp_folder: str):
-    """Decode one file and run the conditioning pipeline on it."""
-    audio, rate = load(path, role, temp_folder)
+    """Decode one file and run the conditioning pipeline on it.
+
+    Integer-PCM WAV sources keep their raw int16/int32 payload
+    (``raw_int=True``): unless resampling forces a float conversion, the
+    integer buffer is what ``render_variants`` stages to the device —
+    half the H2D bytes of float32 — and the graph converts on device
+    (bit-identical output; see ``stages.master_graph``)."""
+    audio, rate = load(path, role, temp_folder, raw_int=True)
     return check(audio, rate, config, role)
 
 

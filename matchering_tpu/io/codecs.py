@@ -79,8 +79,12 @@ def is_lossy_container(path: str) -> bool:
     return vorbis.is_ogg(path) or mp3.is_mp3(path)
 
 
-def read(path: str) -> Tuple[np.ndarray, int]:
+def read(path: str, raw_int: bool = False) -> Tuple[np.ndarray, int]:
     """Read an audio file -> (float64 (n, ch) array, sample rate).
+
+    ``raw_int=True`` asks integer-PCM WAV sources for their unscaled
+    integer codes (see ``wav.read``) so callers can stage raw PCM to the
+    device; every other container returns float64 regardless.
 
     Raises RuntimeError with an "unknown format" message for containers no
     built-in codec handles, so callers can trigger the ffmpeg fallback —
@@ -89,6 +93,10 @@ def read(path: str) -> Tuple[np.ndarray, int]:
     with open(path, "rb") as f:
         magic = f.read(16)  # 16 bytes: Wave64's riff GUID is the longest sniff
     if len(magic) >= 12 and magic[:4] == b"RIFF" and magic[8:12] == b"WAVE":
+        if raw_int:
+            # the numpy codec is a complete WAV reader: integer PCM comes
+            # back as unscaled codes, everything else as float64
+            return wav.read(path, raw_int=True)
         if native.available():
             try:
                 return native.read_wav(path)
@@ -97,7 +105,7 @@ def read(path: str) -> Tuple[np.ndarray, int]:
                 return wav.read(path)
         return wav.read(path)
     if len(magic) >= 12 and magic[:4] in (b"RF64", b"BW64") and magic[8:12] == b"WAVE":
-        return wav.read(path)
+        return wav.read(path, raw_int=raw_int)
     if len(magic) >= 12 and magic[:4] == b"FORM" and magic[8:12] in (b"AIFF", b"AIFC"):
         return aiff.read(path)
     if len(magic) >= 4 and magic[:4] == b"fLaC" and native.available():

@@ -36,9 +36,9 @@ def _is_unknown_container(error: Exception) -> bool:
     return "unknown format" in text or "Format not recognised" in text
 
 
-def _decode_native(file: str, role: str, temp_folder: str):
+def _decode_native(file: str, role: str, temp_folder: str, raw_int: bool):
     try:
-        decoded = codecs.read(file)
+        decoded = codecs.read(file, raw_int=raw_int)
     except (RuntimeError, OSError) as error:
         debug(error)
         return None if _is_unknown_container(error) else _raise_load_error(role)
@@ -47,7 +47,7 @@ def _decode_native(file: str, role: str, temp_folder: str):
     return decoded
 
 
-def _decode_via_ffmpeg(file: str, role: str, temp_folder: str):
+def _decode_via_ffmpeg(file: str, role: str, temp_folder: str, raw_int: bool):
     """Transcode with ffmpeg into a temp WAV, decode that, clean up."""
     debug(f"Unknown container — transcoding '{file}' through ffmpeg")
     staging = os.path.join(temp_folder, random_file(prefix="temp"))
@@ -64,7 +64,8 @@ def _decode_via_ffmpeg(file: str, role: str, temp_folder: str):
         debug(f"ffmpeg could not produce a WAV from '{file}'")
         return None
     try:
-        decoded = codecs.read(staging)
+        # ffmpeg's staging WAV is typically pcm_s16le — raw staging applies
+        decoded = codecs.read(staging, raw_int=raw_int)
     except (RuntimeError, OSError) as error:
         # ffmpeg produced a WAV flavor our codecs cannot parse — stay inside
         # the decode-chain contract (coded ModuleError, not a raw exception)
@@ -84,17 +85,25 @@ def _raise_load_error(role: str):
 _DECODE_CHAIN = (_decode_native, _decode_via_ffmpeg)
 
 
-def load(file: str, file_type: str, temp_folder: str) -> Tuple[np.ndarray, int]:
+def load(
+    file: str, file_type: str, temp_folder: str, raw_int: bool = False
+) -> Tuple[np.ndarray, int]:
     """Decode ``file`` into a float (n, ch) array + sample rate.
 
     ``file_type`` names the track's role ("target"/"reference") and selects
     which coded events fire on failure or lossy input.
+
+    ``raw_int=True`` keeps integer-PCM WAV payloads as unscaled int16/int32
+    codes (see ``codecs.read``): ``process()`` stages those to the device
+    as-is — half the bytes of float32 over the slow host->device link —
+    and the mastering graph converts on device with the identical
+    ``/ 2**(bits-1)`` convention, so output is bit-identical either way.
     """
     role = file_type.upper()
     debug(f"Decoding the {role} track from '{file}'")
     decoded: Optional[Tuple[np.ndarray, int]] = None
     for strategy in _DECODE_CHAIN:
-        decoded = strategy(file, role, temp_folder)
+        decoded = strategy(file, role, temp_folder, raw_int)
         if decoded is not None:
             break
     if decoded is None:

@@ -64,6 +64,32 @@ def _g711_tables():
 )
 
 
+def decode_pcm16_raw(raw: bytes, big_endian: bool = False) -> np.ndarray:
+    """int16 codes, unscaled — for staging raw PCM to the accelerator
+    (half the H2D bytes of float32; the device converts with the same
+    ``/ 2**15`` convention, ``stages.py`` ``to_working_float``)."""
+    dt = ">i2" if big_endian else "<i2"
+    return np.frombuffer(raw, dtype=dt).astype(np.int16, copy=False)
+
+
+def decode_pcm24_raw(raw: bytes, big_endian: bool = False) -> np.ndarray:
+    """24-bit codes widened into the TOP bytes of int32 (``x << 8``), so the
+    device-side ``/ 2**31`` reproduces ``/ 2**23`` exactly."""
+    b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+    if big_endian:
+        b = b[:, ::-1]
+    return (
+        (b[:, 0].astype(np.uint32) << 8)
+        | (b[:, 1].astype(np.uint32) << 16)
+        | (b[:, 2].astype(np.uint32) << 24)
+    ).astype(np.int32)
+
+
+def decode_pcm32_raw(raw: bytes, big_endian: bool = False) -> np.ndarray:
+    dt = ">i4" if big_endian else "<i4"
+    return np.frombuffer(raw, dtype=dt).astype(np.int32, copy=False)
+
+
 def decode_pcm16(raw: bytes, big_endian: bool = False) -> np.ndarray:
     dt = ">i2" if big_endian else "<i2"
     return np.frombuffer(raw, dtype=dt).astype(np.float64) / 32768.0

@@ -28,6 +28,18 @@ class WavFormatError(RuntimeError):
     pass
 
 
+def raw_decoder_for(tag: int, bits: int):
+    """Unscaled integer decoder for a WAVEFORMAT tag/bit-depth pair, or
+    None when the encoding has no raw-integer form (floats, G.711)."""
+    if tag == WAVE_FORMAT_PCM:
+        return {
+            16: pcm.decode_pcm16_raw,
+            24: pcm.decode_pcm24_raw,
+            32: pcm.decode_pcm32_raw,
+        }.get(bits)
+    return None
+
+
 def decoder_for(tag: int, bits: int):
     """PCM decoder for a WAVEFORMAT tag/bit-depth pair, or None.  Shared by
     the RIFF/WAVE and Sony Wave64 containers (same fmt chunk layout)."""
@@ -54,8 +66,16 @@ def _iter_chunks(buf: bytes, start: int, end: int):
         pos = body + size + (size & 1)  # chunks are word-aligned
 
 
-def read(path: str) -> Tuple[np.ndarray, int]:
-    """Read a WAV (or RF64/BW64) file -> (float64 (n, channels) array, rate)."""
+def read(path: str, raw_int: bool = False) -> Tuple[np.ndarray, int]:
+    """Read a WAV (or RF64/BW64) file -> (float64 (n, channels) array, rate).
+
+    With ``raw_int=True``, integer-PCM encodings return their UNSCALED
+    integer codes instead (int16 for 16-bit; int32 for 24/32-bit, 24-bit
+    widened into the top bytes): the mastering graph accepts them and
+    converts on device (``stages.py`` ``master_graph``), so raw PCM rides
+    the slow host->device link at container size instead of float size.
+    Non-integer encodings ignore the flag and return float64 as usual.
+    """
     with open(path, "rb") as f:
         buf = f.read()
     is_rf64 = len(buf) >= 12 and buf[:4] in (b"RF64", b"BW64") and buf[8:12] == b"WAVE"
@@ -87,7 +107,7 @@ def read(path: str) -> Tuple[np.ndarray, int]:
     if channels < 1:
         raise WavFormatError("invalid channel count")
 
-    decoder = decoder_for(tag, bits)
+    decoder = (raw_int and raw_decoder_for(tag, bits)) or decoder_for(tag, bits)
     if decoder is None:
         raise WavFormatError(f"unsupported WAV encoding: tag={tag} bits={bits}")
 

@@ -239,9 +239,31 @@ def loudest_piece_stats_masked(
 # Peak statistics
 
 
+def pcm_int_scale(dtype) -> float:
+    """Full-scale divisor for an integer PCM dtype — the libsndfile
+    convention the whole framework uses (int16 -> 2^15, int32 -> 2^31)."""
+    return float(1 << (jnp.dtype(dtype).itemsize * 8 - 1))
+
+
+def to_working_float(x: jax.Array, dtype) -> jax.Array:
+    """Cast to the working float dtype; integer PCM codes scale by
+    ``pcm_int_scale`` — the on-device half of raw-PCM staging (the host
+    keeps int16/int32 payloads, halving H2D bytes vs float32)."""
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        scale = 1.0 / pcm_int_scale(x.dtype)
+        return x.astype(dtype) * jnp.asarray(scale, dtype)
+    return x.astype(dtype)
+
+
 def count_max_peaks(array: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Global peak magnitude and how many samples sit at it, using
-    ``np.isclose`` tolerances (reference ``dsp.py:49-54``)."""
+    ``np.isclose`` tolerances (reference ``dsp.py:49-54``).  Integer PCM
+    inputs are scaled to full-scale floats on device first, so the
+    reported peak is in the same [-1, 1] domain as float sources."""
+    array = jnp.asarray(array)
+    if jnp.issubdtype(array.dtype, jnp.integer):
+        array = to_working_float(array, jnp.result_type(float))
     max_value = jnp.max(jnp.abs(array))
     atol, rtol = 1e-8, 1e-5
     tol = atol + rtol * max_value

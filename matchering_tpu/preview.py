@@ -108,8 +108,16 @@ def create_preview(
         if piece_len != n
         else 0
     )
+    # staged integer-PCM targets convert on device (same full-scale
+    # convention as the mastering graph) before the float-domain clip/fade
     target_piece, result_piece = _cut_pieces(
-        jnp.asarray(target), result, index, window, step, fade_size, config.threshold
+        basics.to_working_float(jnp.asarray(target), result.dtype),
+        result,
+        index,
+        window,
+        step,
+        fade_size,
+        config.threshold,
     )
 
     begin = step * int(index) if piece_len != n else 0

@@ -149,14 +149,9 @@ def _matching_fir(
     return fir.fir_from_magnitude(smoothed, config.fft_size)
 
 
-def _to_float(x, dtype):
-    """Cast to the working float dtype; integer PCM scales by the
-    libsndfile full-scale convention (int16 -> /2^15, int32 -> /2^31)."""
-    x = jnp.asarray(x)
-    if jnp.issubdtype(x.dtype, jnp.integer):
-        scale = 1.0 / float(1 << (x.dtype.itemsize * 8 - 1))
-        return x.astype(dtype) * jnp.asarray(scale, dtype)
-    return x.astype(dtype)
+# integer-PCM inputs convert on device with the libsndfile full-scale
+# convention — see ops.basics.to_working_float
+_to_float = basics.to_working_float
 
 
 def master_graph(

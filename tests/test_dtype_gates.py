@@ -83,3 +83,122 @@ def test_integer_pcm_inputs_convert_on_device(pair=None):
     )
     o_int = np.asarray(mg.master(t16, r32, cfg).result)
     np.testing.assert_array_equal(o_float, o_int)
+
+
+class TestIntPcmStaging:
+    """VERDICT r4 item 5 — raw integer PCM rides the host->device link.
+
+    The loader keeps int16/int32 WAV payloads, ``process()`` stages them
+    unscaled, and the graph converts on device; output must be
+    bit-identical to the float64 decode path."""
+
+    def test_wav_read_raw_int_matches_scaled(self, tmp_path):
+        from matchering_tpu.io import wav
+
+        rng = np.random.RandomState(21)
+        x = np.clip(0.5 * rng.randn(4096, 2), -1, 1)
+        for subtype, dtype, scale in (
+            ("PCM_16", np.int16, 1 << 15),
+            ("PCM_24", np.int32, 1 << 31),  # widened codes: /2^31 == /2^23
+            ("PCM_32", np.int32, 1 << 31),
+        ):
+            path = str(tmp_path / f"x_{subtype}.wav")
+            wav.write(path, x, 44100, subtype)
+            floats, sr_f = wav.read(path)
+            ints, sr_i = wav.read(path, raw_int=True)
+            assert (sr_f, sr_i) == (44100, 44100)
+            assert ints.dtype == dtype
+            np.testing.assert_array_equal(ints.astype(np.float64) / scale, floats)
+        # float WAVs ignore the flag
+        path = str(tmp_path / "x_float.wav")
+        wav.write(path, x, 44100, "FLOAT")
+        got, _ = wav.read(path, raw_int=True)
+        assert got.dtype == np.float64
+
+    def test_checker_passes_ints_through_at_internal_rate(self):
+        from matchering_tpu.checker import check
+
+        rng = np.random.RandomState(22)
+        ints = (np.clip(0.4 * rng.randn(44100 * 2, 2), -1, 1) * 32767).astype(np.int16)
+        out, rate = check(ints, 44100, mg.Config(), "target")
+        assert out.dtype == np.int16 and rate == 44100
+        # resampling forces the float conversion (device resampler needs floats)
+        out48, rate48 = check(ints, 48000, mg.Config(), "reference")
+        assert np.issubdtype(out48.dtype, np.floating) and rate48 == 44100
+
+    def test_checker_equality_spots_int_vs_float_same_track(self):
+        from matchering_tpu.checker import check_equality
+        from matchering_tpu.log import ModuleError
+
+        rng = np.random.RandomState(23)
+        ints = (np.clip(0.4 * rng.randn(9000, 2), -1, 1) * 32767).astype(np.int16)
+        floats = ints.astype(np.float64) / 32768.0
+        with pytest.raises(ModuleError):
+            check_equality(ints, floats)
+
+    def test_process_stages_integer_buffers_bit_identical(self, tmp_path, monkeypatch):
+        import matchering_tpu.core as core
+        from matchering_tpu.io import wav
+        from matchering_tpu.io import loader as loader_mod
+
+        sr = 44100
+        n = 5 * sr
+        rng = np.random.RandomState(24)
+        t = np.clip(0.3 * rng.randn(n, 2), -1, 1)
+        ref = np.clip(0.8 * rng.randn(n, 2), -1, 1)
+        tp, rp = str(tmp_path / "t.wav"), str(tmp_path / "r.wav")
+        wav.write(tp, t, sr, "PCM_16")
+        wav.write(rp, ref, sr, "PCM_16")
+
+        staged = []
+        orig_render = core.render_variants
+
+        def spy(target, reference, config, keys):
+            staged.append((np.asarray(target).dtype, np.asarray(reference).dtype))
+            return orig_render(target, reference, config, keys)
+
+        monkeypatch.setattr(core, "render_variants", spy)
+
+        out_int = str(tmp_path / "out_int.wav")
+        mg.process(tp, rp, [mg.pcm16(out_int)], mg.Config())
+        assert staged == [(np.dtype(np.int16), np.dtype(np.int16))]
+
+        # same run with the loader pinned to float64 decodes
+        orig_load = loader_mod.load
+        monkeypatch.setattr(
+            core,
+            "load",
+            lambda f, role, tmp, raw_int=True: orig_load(f, role, tmp, raw_int=False),
+        )
+        staged.clear()
+        out_float = str(tmp_path / "out_float.wav")
+        mg.process(tp, rp, [mg.pcm16(out_float)], mg.Config())
+        assert staged[0][0] == np.dtype(np.float64)
+
+        with open(out_int, "rb") as a, open(out_float, "rb") as b:
+            assert a.read() == b.read()
+
+    def test_process_with_preview_accepts_int_target(self, tmp_path):
+        from matchering_tpu.io import wav
+
+        sr = 44100
+        n = 5 * sr
+        rng = np.random.RandomState(25)
+        wav.write(
+            str(tmp_path / "t.wav"),
+            np.clip(0.3 * rng.randn(n, 2), -1, 1), sr, "PCM_16",
+        )
+        wav.write(
+            str(tmp_path / "r.wav"),
+            np.clip(0.8 * rng.randn(n, 2), -1, 1), sr, "PCM_16",
+        )
+        mg.process(
+            str(tmp_path / "t.wav"),
+            str(tmp_path / "r.wav"),
+            [mg.pcm16(str(tmp_path / "out.wav"))],
+            mg.Config(),
+            preview_target=mg.pcm16(str(tmp_path / "pt.wav")),
+            preview_result=mg.pcm16(str(tmp_path / "pr.wav")),
+        )
+        for name in ("out.wav", "pt.wav", "pr.wav"):
+            assert (tmp_path / name).exists()
