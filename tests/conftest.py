@@ -64,7 +64,12 @@ def reference_matchering():
     import sys
     import types
 
-    if not os.path.isdir("/root/reference/matchering"):
+    # MATCHERING_TPU_ORACLE=published forces the public-CI codepath (the
+    # installed ``matchering`` package, no dev-box stubs) even when the
+    # /root/reference mount exists — used to reproduce the oracle-parity
+    # CI job locally (tools_oracle_ci_local.sh).
+    force_published = os.environ.get("MATCHERING_TPU_ORACLE") == "published"
+    if force_published or not os.path.isdir("/root/reference/matchering"):
         try:
             import matchering as published  # the PyPI oracle, if installed
 

@@ -1,4 +1,4 @@
-"""Device-time roofline for the mastering chain (v2, VERDICT r3 item 2).
+"""Device-time roofline for the mastering chain (v3, VERDICT r4 item 4).
 
 The r3 roofline divided *pre-fusion* cost-model bytes by *RTT-inclusive*
 wall times; subtracting the measured ~35 ms dispatch RTT made the implied
@@ -20,8 +20,19 @@ HBM traffic and the wall overcounts device time.  This tool fixes both:
   production 7.9M-sample envelope, plus the sliding maxima — so the
   "~200 track-passes" cost-model claim is replaced by a measured number.
 
+v3 over v2 (VERDICT r4 items 4 and 7):
+
+* below-timer-resolution rows are FLAGGED instead of divided through (the
+  v2 ``sliding_max_attack`` row published gbps_lower = 6.4e7 from a 0.0 ms
+  denominator);
+* kernel micro-rows repeat 64x inside the device loop (vs 8x) so sub-0.1 ms
+  kernels resolve;
+* same-run A/B sections price the r4 rewrites: packed stereo convolution
+  vs per-channel overlap-save, and folded smoothing operators vs the
+  separate device-LOWESS path.
+
 Usage (from /root/repo, ONE TPU job at a time):
-    python tools_roofline2.py            # writes ROOFLINE.json (v2)
+    python tools_roofline2.py            # writes ROOFLINE.json (v3)
 """
 
 import json
@@ -37,7 +48,9 @@ _PEAKS = {
     "mxu_bf16_gflops": 197000.0,
 }
 
-_K = 8  # repeat count inside the device loop
+_K = 8        # repeat count inside the device loop (stage rows)
+_K_KERNEL = 64  # kernel micro-rows: tiny kernels need more reps to resolve
+_TIMER_RESOLUTION_S = 5e-4  # wall-clock jitter floor on this host
 
 
 def _median(fn, reps=7):
@@ -92,13 +105,16 @@ def main(seconds=180, sr=44100):
         "workload": {"seconds_audio": seconds, "sample_rate": sr, "dtype": "float32"},
         "peaks": _PEAKS,
         "K": _K,
+        "version": 3,
         "stages": {},
         "kernels": {},
+        "ab": {},
     }
 
-    def measure(section, name, fn, args, bytes_lower, flops=None):
-        """fn(scalar, *args) -> scalar checksum; repeated K times on device
+    def measure(section, name, fn, args, bytes_lower, flops=None, k=None):
+        """fn(scalar, *args) -> scalar checksum; repeated k times on device
         with the scalar chained through, so iterations are truly sequential."""
+        k = k or _K
 
         def looped(k_static, s0, *a):
             def body(_, s):
@@ -108,29 +124,39 @@ def main(seconds=180, sr=44100):
 
         s0 = jnp.asarray(1.0, jnp.float32)
         run1 = jax.jit(lambda s, *a: looped(1, s, *a)).lower(s0, *args).compile()
-        runK = jax.jit(lambda s, *a: looped(_K, s, *a)).lower(s0, *args).compile()
+        runK = jax.jit(lambda s, *a: looped(k, s, *a)).lower(s0, *args).compile()
         float(run1(s0, *args))
         float(runK(s0, *args))
         w1 = _median(lambda: float(run1(s0, *args)))
         wK = _median(lambda: float(runK(s0, *args)))
-        dev = max((wK - w1) / (_K - 1), 1e-9)
+        delta = wK - w1
+        dev = max(delta / (k - 1), 1e-9)
         bytes_model = _cost_bytes(jax.jit(lambda s, *a: fn(s, *a)).lower(s0, *args).compile())
         entry = {
+            "K": k,
             "wall_1_ms": round(w1 * 1e3, 2),
             "wall_K_ms": round(wK * 1e3, 2),
             "device_ms": round(dev * 1e3, 3),
             "bytes_lower": bytes_lower,
             "bytes_model": bytes_model,
-            "gbps_lower": round(bytes_lower / dev / 1e9, 1),
-            "hbm_fraction_lower": round(bytes_lower / dev / 1e9 / _PEAKS["hbm_gbps"], 3),
         }
-        if np.isfinite(bytes_model):
-            entry["gbps_model"] = round(bytes_model / dev / 1e9, 1)
-            entry["hbm_fraction_model"] = round(
-                bytes_model / dev / 1e9 / _PEAKS["hbm_gbps"], 3
+        if delta < _TIMER_RESOLUTION_S:
+            # the K-rep delta is inside wall-clock jitter: publishing
+            # bytes/dev would be nonsense (the v2 sliding_max_attack bug)
+            entry["below_timer_resolution"] = True
+            entry["device_ms_upper"] = round(_TIMER_RESOLUTION_S / (k - 1) * 1e3, 3)
+        else:
+            entry["gbps_lower"] = round(bytes_lower / dev / 1e9, 1)
+            entry["hbm_fraction_lower"] = round(
+                bytes_lower / dev / 1e9 / _PEAKS["hbm_gbps"], 3
             )
-        if flops:
-            entry["gflops"] = round(flops / dev / 1e9, 1)
+            if np.isfinite(bytes_model):
+                entry["gbps_model"] = round(bytes_model / dev / 1e9, 1)
+                entry["hbm_fraction_model"] = round(
+                    bytes_model / dev / 1e9 / _PEAKS["hbm_gbps"], 3
+                )
+            if flops:
+                entry["gflops"] = round(flops / dev / 1e9, 1)
         report[section][name] = entry
         print(name, json.dumps(entry), flush=True)
         return entry
@@ -230,7 +256,7 @@ def main(seconds=180, sr=44100):
         return jnp.sum(iir.scan_first_order(perturb(x, s), 0.95))
 
     measure("kernels", "ladder_scan_plain_7_9M", k_plain_scan, (env,),
-            bytes_lower=2 * n * B)
+            bytes_lower=2 * n * B, k=_K_KERNEL)
 
     release_pole = 0.9999  # near-unit -> double-single path
     def k_ds_scan(s, x):
@@ -238,7 +264,7 @@ def main(seconds=180, sr=44100):
         return jnp.sum(iir.lfilter_first_order(f, perturb(x, s)))
 
     measure("kernels", "ladder_scan_ds_7_9M", k_ds_scan, (env,),
-            bytes_lower=2 * n * B)
+            bytes_lower=2 * n * B, k=_K_KERNEL)
 
     attack = ms_to_samples(config.limiter.attack, config.internal_sample_rate)
     hold = ms_to_samples(config.limiter.hold, config.internal_sample_rate)
@@ -247,13 +273,13 @@ def main(seconds=180, sr=44100):
         return jnp.sum(sliding.sliding_max_attack(perturb(x, s), attack))
 
     measure("kernels", "sliding_max_attack", k_slide_attack, (env,),
-            bytes_lower=2 * n * B)
+            bytes_lower=2 * n * B, k=_K_KERNEL)
 
     def k_slide_hold(s, x):
         return jnp.sum(sliding.sliding_max_hold(perturb(x, s), hold))
 
     measure("kernels", "sliding_max_hold", k_slide_hold, (env,),
-            bytes_lower=2 * n * B)
+            bytes_lower=2 * n * B, k=_K_KERNEL)
 
     def k_filtfilt(s, x):
         smoother = iir.one_pole_filter(
@@ -262,7 +288,37 @@ def main(seconds=180, sr=44100):
         return jnp.sum(iir.filtfilt_first_order(smoother, perturb(x, s)))
 
     measure("kernels", "filtfilt_attack_smoother", k_filtfilt, (env,),
-            bytes_lower=3 * n * B)
+            bytes_lower=3 * n * B, k=_K_KERNEL)
+
+    # ---- same-run A/Bs for the r4 rewrites (VERDICT r4 item 4) ----
+    def conv_packed(s, a, b, f1, f2):
+        out = convolve._convolve_blocked_packed2(
+            jnp.stack([perturb(a, s), b]), jnp.stack([f1, f2]), block_fft=1 << 16
+        )
+        return jnp.sum(jnp.abs(out))
+
+    def conv_per_channel(s, a, b, f1, f2):
+        out = jax.vmap(convolve.fft_convolve_same, in_axes=(0, 0, None))(
+            jnp.stack([perturb(a, s), b]), jnp.stack([f1, f2]), 1 << 16
+        )
+        return jnp.sum(jnp.abs(out))
+
+    measure("ab", "conv_stereo_packed2", conv_packed,
+            (tm, ts, mid_fir, side_fir), bytes_lower=(2 * n + 2 * n) * B)
+    measure("ab", "conv_stereo_per_channel", conv_per_channel,
+            (tm, ts, mid_fir, side_fir), bytes_lower=(2 * n + 2 * n) * B)
+
+    unfolded_ops = smoothing.interpolation_operator_arrays(
+        config.internal_sample_rate,
+        config.fft_size,
+        config.lin_log_oversampling,
+        jnp.dtype(config.dtype),
+    )
+    folded_ops = smoothing.operator_arrays_for_config(config)
+    measure("ab", "analysis_fir_folded_lowess", stage_analysis,
+            (t_dev, r_dev, folded_ops), bytes_lower=(2 * n + 2 * n) * B)
+    measure("ab", "analysis_fir_device_lowess", stage_analysis,
+            (t_dev, r_dev, unfolded_ops), bytes_lower=(2 * n + 2 * n) * B)
 
     # dispatch RTT floor (tiny program), for reference
     tiny = jax.jit(lambda x: jnp.sum(x)).lower(jnp.zeros((8,), jnp.float32)).compile()
@@ -273,7 +329,7 @@ def main(seconds=180, sr=44100):
     with open("ROOFLINE.json", "w") as f:
         json.dump(report, f, indent=2)
         f.write("\n")
-    print("wrote ROOFLINE.json (v2)", flush=True)
+    print("wrote ROOFLINE.json (v3)", flush=True)
 
 
 if __name__ == "__main__":
