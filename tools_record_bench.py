@@ -248,6 +248,24 @@ def bench_longform(jax, jnp, mg, minutes=60, sr=96000, ref_seconds=180):
     t_dev, h2d_t2 = stage(target)
     r_dev, _ = stage(reference)
     checksum, warm_s = run(t_dev, r_dev)
+
+    # --- int16-PCM staging (VERDICT r4 items 2c/5): quantize the target to
+    # int16, then master it staged BOTH ways — the raw int16 codes (half
+    # the H2D bytes) and the float32 of the same codes.  Checksums must
+    # match bit-identically (the graph converts ints on device with the
+    # same full-scale convention), and the H2D walls give the measured
+    # staging delta over the tunnel. ---
+    np.clip(target, -0.999969, 0.999969, out=target)  # int16 headroom
+    t_i16 = np.clip(np.rint(target * 32768.0), -32768, 32767).astype(np.int16)
+    t_dev_int, h2d_int = stage(t_i16)
+    r_dev, _ = stage(reference)
+    checksum_int, int_run_s = run(t_dev_int, r_dev)
+    t_f32 = t_i16.astype(np.float32) / 32768.0
+    del t_i16
+    t_dev_f, h2d_f = stage(t_f32)
+    del t_f32
+    r_dev, _ = stage(reference)
+    checksum_f, float_run_s = run(t_dev_f, r_dev)
     return {
         "minutes_audio": minutes,
         "sample_rate": sr,
@@ -257,6 +275,16 @@ def bench_longform(jax, jnp, mg, minutes=60, sr=96000, ref_seconds=180):
         "warm_run_s": round(warm_s, 1),
         "realtime_factor_warm": round(seconds / warm_s, 1),
         "checksum": checksum,
+        "int16_staging": {
+            "h2d_int16_s": round(h2d_int, 1),
+            "h2d_float32_s": round(h2d_f, 1),
+            "h2d_speedup": round(h2d_f / h2d_int, 2),
+            "run_int16_s": round(int_run_s, 1),
+            "run_float32_s": round(float_run_s, 1),
+            "checksum_int16": checksum_int,
+            "checksum_float32": checksum_f,
+            "bit_identical": checksum_int == checksum_f,
+        },
     }
 
 
