@@ -102,7 +102,7 @@ doc = {
               "statsmodels.lowess = tests/oracle_lowess.py (the one "
               "semantic stand-in vs real CI)",
     "steps": [
-        "python -m venv --system-site-packages /tmp/oracle_venv",
+        "python -m venv /tmp/oracle_venv (+ .pth exposing the base jax/scipy/numpy/pytest env)",
         "pip install --no-deps --no-index <matchering 2.0.6 source>",
         "install soundfile/resampy/statsmodels shim packages",
         "python -m matchering_tpu.io.native.build",
