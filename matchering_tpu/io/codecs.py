@@ -8,10 +8,10 @@ available backend.  Backends, in preference order:
 1. the native C++ codec (``matchering_tpu/io/native``), when built;
 2. the pure numpy WAV/RF64/W64/AIFF/CAF codecs in this package;
 3. system codec libraries via ctypes — libvorbis for OGG/Vorbis read *and*
-   write, libmpg123/LAME for MP3, libopus for Ogg Opus read — the reference
-   reads all of these natively through libsndfile
-   (``matchering/loader.py:35``), so lossy uploads must not require an
-   ffmpeg binary;
+   write, libmpg123/LAME for MP3, libopus for Ogg Opus read *and* write
+   (pure-Python Ogg mux/demux) — the reference reads and writes all of
+   these natively through libsndfile (``matchering/loader.py:35``,
+   ``saver.py:32``), so lossy formats must not require an ffmpeg binary;
 4. an ``ffmpeg`` subprocess for anything else, matching the reference's
    fallback behavior (``matchering/loader.py:50-74``).
 """
@@ -65,6 +65,8 @@ def check_format(fmt: str, subtype: Optional[str] = None) -> bool:
         return subtype is None or subtype.upper() == "VORBIS"
     if fmt == "MP3" and mp3.write_available():
         return subtype is None or subtype.upper() == "MPEG_LAYER_III"
+    if fmt == "OPUS" and opus.write_available():
+        return subtype is None or subtype.upper() == "OPUS"
     if fmt in _FFMPEG_WRITE_FORMATS and ffmpeg_available():
         return subtype is None or subtype.upper() in _FFMPEG_WRITE_FORMATS[fmt]
     return False
@@ -150,6 +152,8 @@ def write(path: str, array: np.ndarray, sample_rate: int, subtype: str) -> None:
         vorbis.write_ogg(path, array, sample_rate)
     elif ext == "MP3" and mp3.write_available() and subtype.upper() == "MPEG_LAYER_III":
         mp3.write_mp3(path, array, sample_rate)
+    elif ext == "OPUS" and opus.write_available() and subtype.upper() == "OPUS":
+        opus.write_opus(path, array, sample_rate)
     elif ext in _FFMPEG_WRITE_FORMATS:
         _write_via_ffmpeg(path, array, sample_rate, ext, subtype)
     else:

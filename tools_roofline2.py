@@ -203,8 +203,10 @@ def main(seconds=180, sr=44100):
         bytes_lower=(2 * n + 2 * n) * B,
     )
 
+    # jit the prep convolution: eagerly, the packed path's complex ops hit
+    # UNIMPLEMENTED standalone-kernel gaps on the axon backend
     conv = jax.block_until_ready(
-        convolve.fft_convolve_same_batch(
+        jax.jit(convolve.fft_convolve_same_batch)(
             jnp.stack([tm, ts]), jnp.stack([mid_fir, side_fir])
         )
     )
