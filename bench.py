@@ -62,15 +62,12 @@ def main():
     from matchering_tpu.ops import smoothing
 
     # thread the smoothing operators as runtime arguments — closing over
-    # them would bake ~134 MB of dense literals into the HLO (the same
-    # program structure parallel.master_pairs uses, with the checksum
-    # fused into the graph so one dispatch per pair both runs and syncs)
-    interp_ops = smoothing.interpolation_operator_arrays(
-        config.internal_sample_rate,
-        config.fft_size,
-        config.lin_log_oversampling,
-        jnp.dtype(config.dtype),
-    )
+    # them would bake dense literals into the HLO (the same program
+    # structure parallel.master_pairs uses, with the checksum fused into
+    # the graph so one dispatch per pair both runs and syncs); the
+    # config-driven constructor folds the it=0 LOWESS into the operator
+    # pair, exactly as every production entry point does
+    interp_ops = smoothing.operator_arrays_for_config(config)
 
     @jax.jit
     def graph(target, reference, ops):
@@ -118,6 +115,42 @@ def main():
     times.sort()
     median = times[len(times) // 2]
     throughput = B * seconds / median
+
+    # single-pair realtime factor, same run (bench continuity, VERDICT r4
+    # item 6): one pair per dispatch, median of the warm reps
+    single_times = []
+    for pairs in reps[1:]:
+        t, r = pairs[0]
+        start = time.perf_counter()
+        float(graph(t, r, interp_ops))
+        single_times.append(time.perf_counter() - start)
+    single_times.sort()
+    single = single_times[len(single_times) // 2]
+
+    rows = {
+        "pipelined_B8": {
+            "times_s": [round(x, 4) for x in times],
+            "median_s": round(median, 4),
+            "audio_sec_per_s": round(throughput, 1),
+            "pairs_per_s": round(B / median, 2),
+        },
+        "single_pair": {
+            "times_s": [round(x, 4) for x in single_times],
+            "median_wall_s": round(single, 4),
+            "realtime_factor": round(seconds / single, 1),
+        },
+        "workload": {"seconds": seconds, "sample_rate": sr, "pairs": B},
+    }
+    try:  # side artifact; the driver consumes only the stdout line below
+        with open("BENCH_EXTRA_r05.json") as f:
+            extra = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        extra = {}
+    extra["bench_py_last_run"] = rows
+    with open("BENCH_EXTRA_r05.json", "w") as f:
+        json.dump(extra, f, indent=2)
+        f.write("\n")
+
     print(
         json.dumps(
             {
