@@ -88,12 +88,11 @@ def main(seconds=180, sr=44100):
     t_dev = jax.device_put(target)
     r_dev = jax.device_put(reference)
     n = target.shape[0]
-    interp_ops = smoothing.interpolation_operator_arrays(
-        config.internal_sample_rate,
-        config.fft_size,
-        config.lin_log_oversampling,
-        jnp.dtype(config.dtype),
-    )
+    # the PRODUCTION operator pair (LOWESS folded in) — the v3 first run
+    # accidentally measured every stage row with the unfolded pair, hiding
+    # 5.3 ms of fold win inside the fused row; the A/B section below keeps
+    # both variants explicitly
+    interp_ops = smoothing.operator_arrays_for_config(config)
 
     report = {
         "device": str(jax.devices()[0]),
