@@ -108,3 +108,69 @@ def masked_average_spectrum_flat(
     total = jnp.sum(specs * weights[:, None], axis=0)
     selected = jnp.maximum(jnp.sum(mask), 1.0)
     return total / (selected * frames_per_piece)
+
+
+def masked_average_spectrum_flat_pair(
+    signal_a: jax.Array,
+    signal_b: jax.Array,
+    mask: jax.Array,
+    piece_size: int,
+    divisions: int,
+    fft_size: int,
+):
+    """Both channels' :func:`masked_average_spectrum_flat` through ONE
+    complex FFT per frame batch: ``z = a + i*b`` rides a single c2c
+    transform and the two magnitude spectra are recovered with the
+    Hermitian split done entirely in REAL arithmetic on half-length
+    slices —
+        |A_k| = sqrt((R+Rr)^2 + (I-Ir)^2) / 2
+        |B_k| = sqrt((I+Ir)^2 + (R-Rr)^2) / 2
+    with (R, I) = (Re, Im) of fft(z) and (Rr, Ir) the index-reversed-with-
+    wrap halves.  This matters because the backend lowers ``rfft`` as a
+    FULL-size complex transform anyway (PROBE_FFT.json), so packing halves
+    the transform count of the analysis stage's hottest block; the real-
+    arithmetic split avoids the full-size complex reversed copies that made
+    the r4 packed probe LOSE (PROBE_ANALYSIS.json packed_spectrum_x2pairs).
+
+    Returns ``(spectrum_a, spectrum_b)``, each ``(fft_size//2 + 1,)`` —
+    numerically the reference's averaged |STFT| over the mask-selected
+    pieces (``match_frequencies.py:30-42``) for each channel.
+    """
+    frames_per_piece = piece_size // fft_size
+    used = frames_per_piece * fft_size
+
+    def frames_of(x):
+        return jnp.concatenate(
+            [
+                jax.lax.slice(x, (p * piece_size,), (p * piece_size + used,)).reshape(
+                    frames_per_piece, fft_size
+                )
+                for p in range(divisions)
+            ]
+        )
+
+    z = jax.lax.complex(frames_of(signal_a), frames_of(signal_b))
+    Z = jnp.fft.fft(z, axis=-1)
+    R, I = jnp.real(Z), jnp.imag(Z)
+    half = fft_size // 2 + 1
+
+    def rev_half(X):
+        # X[(n-k) % n] for k = 0..n/2; the reversed window is barriered out
+        # of pad/concat fusions (TPU fusion-emitter guard, as in
+        # ops/fftpack.irfft and ops/convolve)
+        tail = X[..., :0:-1]
+        tail = jax.lax.optimization_barrier(tail)
+        return jnp.concatenate([X[..., :1], tail], axis=-1)[..., :half]
+
+    Rh, Ih = R[..., :half], I[..., :half]
+    Rr, Ir = rev_half(R), rev_half(I)
+    scale = 0.5 / fft_size
+    mag_a = jnp.sqrt(jnp.square(Rh + Rr) + jnp.square(Ih - Ir)) * scale
+    mag_b = jnp.sqrt(jnp.square(Ih + Ir) + jnp.square(Rh - Rr)) * scale
+
+    weights = jnp.repeat(mask, frames_per_piece)
+    selected = jnp.maximum(jnp.sum(mask), 1.0) * frames_per_piece
+    return (
+        jnp.sum(mag_a * weights[:, None], axis=0) / selected,
+        jnp.sum(mag_b * weights[:, None], axis=0) / selected,
+    )

@@ -516,3 +516,57 @@ def test_ds_pole_powers_matches_float64():
         want = np.float64(pole) ** np.arange(1, n + 1)
         rel = np.abs(got - want) / want
         assert rel.max() < 1e-12, (n, rel.max())
+
+
+class TestPackedPairSpectrum:
+    def test_matches_per_channel_form(self, rng):
+        from matchering_tpu.ops.spectrum import (
+            masked_average_spectrum_flat,
+            masked_average_spectrum_flat_pair,
+        )
+
+        fft_size = 256
+        piece, divs = 2000, 7
+        n = piece * divs
+        a = rng.randn(n)
+        b = rng.randn(n)
+        mask = (rng.rand(divs) > 0.4).astype(np.float64)
+        want_a = np.asarray(
+            masked_average_spectrum_flat(jnp.asarray(a), jnp.asarray(mask), piece, divs, fft_size)
+        )
+        want_b = np.asarray(
+            masked_average_spectrum_flat(jnp.asarray(b), jnp.asarray(mask), piece, divs, fft_size)
+        )
+        got_a, got_b = masked_average_spectrum_flat_pair(
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(mask), piece, divs, fft_size
+        )
+        np.testing.assert_allclose(np.asarray(got_a), want_a, rtol=1e-10, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(got_b), want_b, rtol=1e-10, atol=1e-13)
+
+    def test_matches_scipy_stft_oracle(self, rng):
+        """Direct parity with the reference's averaged |STFT| semantics
+        (scipy boxcar frames, noverlap=0) for the packed pair form."""
+        fft_size = 128
+        piece, divs = 1000, 5
+        n = piece * divs
+        a = rng.randn(n)
+        b = rng.randn(n)
+        mask = np.array([1.0, 0.0, 1.0, 1.0, 0.0])
+
+        def oracle(x):
+            specs = []
+            for p in range(divs):
+                if mask[p] == 0:
+                    continue
+                seg = x[p * piece : p * piece + (piece // fft_size) * fft_size]
+                fr = seg.reshape(-1, fft_size)
+                specs.append(np.abs(np.fft.rfft(fr, axis=-1)) / fft_size)
+            return np.concatenate(specs).mean(axis=0)
+
+        from matchering_tpu.ops.spectrum import masked_average_spectrum_flat_pair
+
+        got_a, got_b = masked_average_spectrum_flat_pair(
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(mask), piece, divs, fft_size
+        )
+        np.testing.assert_allclose(np.asarray(got_a), oracle(a), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(got_b), oracle(b), rtol=1e-10)
