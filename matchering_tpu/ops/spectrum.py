@@ -174,3 +174,56 @@ def masked_average_spectrum_flat_pair(
         jnp.sum(mag_a * weights[:, None], axis=0) / selected,
         jnp.sum(mag_b * weights[:, None], axis=0) / selected,
     )
+
+
+def masked_average_spectrum_dynamic_pair(
+    signal_a: jax.Array,
+    signal_b: jax.Array,
+    mask: jax.Array,
+    piece_size: jax.Array,
+    div_max: int,
+    fft_size: int,
+    fpp_max: int,
+):
+    """Both channels' :func:`masked_average_spectrum_dynamic` through one
+    complex FFT per frame batch — the packed form (see
+    :func:`masked_average_spectrum_flat_pair`) with *traced* piece
+    geometry, for bucket-padded batch entries."""
+    dtype = signal_a.dtype
+    slice_len = fpp_max * fft_size
+
+    def frames_of(x):
+        padded = jnp.concatenate([x, jnp.zeros((slice_len,), dtype)])
+        return jnp.stack(
+            [
+                jax.lax.dynamic_slice(padded, (p * piece_size,), (slice_len,)).reshape(
+                    fpp_max, fft_size
+                )
+                for p in range(div_max)
+            ]
+        )  # (div_max, fpp_max, fft_size)
+
+    z = jax.lax.complex(frames_of(signal_a), frames_of(signal_b))
+    Z = jnp.fft.fft(z, axis=-1)
+    R, I = jnp.real(Z), jnp.imag(Z)
+    half = fft_size // 2 + 1
+
+    def rev_half(X):
+        tail = X[..., :0:-1]
+        tail = jax.lax.optimization_barrier(tail)
+        return jnp.concatenate([X[..., :1], tail], axis=-1)[..., :half]
+
+    Rh, Ih = R[..., :half], I[..., :half]
+    Rr, Ir = rev_half(R), rev_half(I)
+    scale = 0.5 / fft_size
+    mag_a = jnp.sqrt(jnp.square(Rh + Rr) + jnp.square(Ih - Ir)) * scale
+    mag_b = jnp.sqrt(jnp.square(Ih + Ir) + jnp.square(Rh - Rr)) * scale
+
+    frames_per_piece = piece_size // fft_size
+    frame_valid = (jnp.arange(fpp_max) < frames_per_piece).astype(dtype)
+    weights = mask[:, None] * frame_valid[None, :]
+    selected = jnp.maximum(jnp.sum(mask), 1.0) * jnp.maximum(frames_per_piece, 1)
+    return (
+        jnp.sum(mag_a * weights[:, :, None], axis=(0, 1)) / selected,
+        jnp.sum(mag_b * weights[:, :, None], axis=(0, 1)) / selected,
+    )

@@ -109,6 +109,54 @@ def _masked_spectrum(
     )
 
 
+def _masked_spectrum_pair(
+    signal_a: jax.Array,
+    signal_b: jax.Array,
+    mask: jax.Array,
+    division: _Division,
+    config: Config,
+):
+    """Both channels' masked average spectra through ONE complex FFT per
+    frame batch (``z = mid + i*side``, real-arithmetic Hermitian split) —
+    the production analysis path: the backend lowers rfft as a full-size
+    c2c anyway, so packing halves the transform count of the analysis
+    stage's hottest block (measured on chip: 2.0 ms vs 4.3 ms for the four
+    per-channel spectra, PROBE_SPECTRUM_R5.json)."""
+    if division.div_max is None:
+        return spectrum.masked_average_spectrum_flat_pair(
+            signal_a, signal_b, mask, division.piece_size, division.divisions,
+            config.fft_size,
+        )
+    fpp_max = config.max_piece_size // config.fft_size + 1
+    return spectrum.masked_average_spectrum_dynamic_pair(
+        signal_a, signal_b, mask, division.piece_size, division.div_max,
+        config.fft_size, fpp_max,
+    )
+
+
+def _fir_from_spectra(
+    target_fft: jax.Array,
+    reference_fft: jax.Array,
+    config: Config,
+    interp_ops=None,
+) -> jax.Array:
+    """Matching-EQ FIR from precomputed averaged spectra (reference
+    ``get_fir``, ``match_frequencies.py:78-99``): matching curve, log-grid
+    smoothing, linear-phase FIR synthesis."""
+    matching_fft = reference_fft / jnp.maximum(config.min_value, target_fft)
+    smoothed = smoothing.smooth_exponentially(
+        matching_fft,
+        config.internal_sample_rate,
+        config.fft_size,
+        config.lin_log_oversampling,
+        config.lowess_frac,
+        config.lowess_it,
+        0.0 if config.lowess_exact else config.lowess_delta,
+        operators=interp_ops,
+    )
+    return fir.fir_from_magnitude(smoothed, config.fft_size)
+
+
 def _matching_fir(
     target_signal: jax.Array,
     reference_signal: jax.Array,
@@ -120,8 +168,8 @@ def _matching_fir(
     config: Config,
     interp_ops=None,
 ) -> jax.Array:
-    """Matching-EQ FIR for one of mid/side (reference ``get_fir``,
-    ``match_frequencies.py:78-99``).
+    """Matching-EQ FIR for one of mid/side from the signals (per-channel
+    spectra; ``master_graph`` uses the packed-pair form instead).
 
     ``target_gain`` is the RMS coefficient already applied to the full
     target channel; |FFT| is positively homogeneous, so scaling the averaged
@@ -135,18 +183,7 @@ def _matching_fir(
     reference_fft = _masked_spectrum(
         reference_signal, reference_mask, reference_division, config
     )
-    matching_fft = reference_fft / jnp.maximum(config.min_value, target_fft)
-    smoothed = smoothing.smooth_exponentially(
-        matching_fft,
-        config.internal_sample_rate,
-        config.fft_size,
-        config.lin_log_oversampling,
-        config.lowess_frac,
-        config.lowess_it,
-        0.0 if config.lowess_exact else config.lowess_delta,
-        operators=interp_ops,
-    )
-    return fir.fir_from_magnitude(smoothed, config.fft_size)
+    return _fir_from_spectra(target_fft, reference_fft, config, interp_ops)
 
 
 # integer-PCM inputs convert on device with the libsndfile full-scale
@@ -223,28 +260,19 @@ def master_graph(
 
     # --- Stage 2: match frequencies (stages.py:107-135) ---
     # note: spectra are taken from the *unamplified* target channels and
-    # scaled by the RMS coefficient (equivalent, |FFT| is homogeneous)
-    mid_fir = _matching_fir(
-        target_mid,
-        reference_mid,
-        t_division,
-        r_division,
-        t_mask,
-        r_mask,
-        rms_coefficient,
-        config,
-        interp_ops,
+    # scaled by the RMS coefficient (equivalent, |FFT| is homogeneous);
+    # mid+side of each track ride one packed complex FFT batch
+    t_mid_fft, t_side_fft = _masked_spectrum_pair(
+        target_mid, target_side, t_mask, t_division, config
     )
-    side_fir = _matching_fir(
-        target_side,
-        reference_side,
-        t_division,
-        r_division,
-        t_mask,
-        r_mask,
-        rms_coefficient,
-        config,
-        interp_ops,
+    r_mid_fft, r_side_fft = _masked_spectrum_pair(
+        reference_mid, reference_side, r_mask, r_division, config
+    )
+    mid_fir = _fir_from_spectra(
+        t_mid_fft * rms_coefficient, r_mid_fft, config, interp_ops
+    )
+    side_fir = _fir_from_spectra(
+        t_side_fft * rms_coefficient, r_side_fft, config, interp_ops
     )
 
     target_mid = target_mid * rms_coefficient

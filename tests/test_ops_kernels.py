@@ -570,3 +570,33 @@ class TestPackedPairSpectrum:
         )
         np.testing.assert_allclose(np.asarray(got_a), oracle(a), rtol=1e-10)
         np.testing.assert_allclose(np.asarray(got_b), oracle(b), rtol=1e-10)
+
+    def test_dynamic_pair_matches_dynamic(self, rng):
+        from matchering_tpu.ops.spectrum import (
+            masked_average_spectrum_dynamic,
+            masked_average_spectrum_dynamic_pair,
+        )
+
+        fft_size = 128
+        div_max, fpp_max = 6, 9
+        piece = jnp.asarray(1000)  # traced geometry: 7 full frames per piece
+        n = 6 * 1000
+        a = rng.randn(n)
+        b = rng.randn(n)
+        mask = np.array([1.0, 1.0, 0.0, 1.0, 0.0, 1.0])
+        want_a = np.asarray(
+            masked_average_spectrum_dynamic(
+                jnp.asarray(a), jnp.asarray(mask), piece, div_max, fft_size, fpp_max
+            )
+        )
+        want_b = np.asarray(
+            masked_average_spectrum_dynamic(
+                jnp.asarray(b), jnp.asarray(mask), piece, div_max, fft_size, fpp_max
+            )
+        )
+        got_a, got_b = masked_average_spectrum_dynamic_pair(
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(mask), piece, div_max,
+            fft_size, fpp_max,
+        )
+        np.testing.assert_allclose(np.asarray(got_a), want_a, rtol=1e-10, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(got_b), want_b, rtol=1e-10, atol=1e-13)

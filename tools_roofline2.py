@@ -167,6 +167,10 @@ def main(seconds=180, sr=44100):
         return x * (1.0 + 1e-7 * s)
 
     def stage_analysis(s, t, r, ops):
+        # mirrors master_graph's production flow: packed-pair spectra +
+        # FIR-from-spectra (stages.py stage 1-2)
+        from matchering_tpu.stages import _fir_from_spectra, _masked_spectrum_pair
+
         t = perturb(t, s)
         r, _ = basics.normalize(r, config.threshold, config.min_value, False)
         t_div = _Division.static(t.shape[0], config.max_piece_size)
@@ -176,8 +180,10 @@ def main(seconds=180, sr=44100):
         t_mask, t_rms = _analyze_levels(tm, t_div)
         r_mask, r_rms = _analyze_levels(rm, r_div)
         coeff = r_rms / jnp.maximum(config.min_value, t_rms)
-        mid_fir = _matching_fir(tm, rm, t_div, r_div, t_mask, r_mask, coeff, config, ops)
-        side_fir = _matching_fir(ts, rs, t_div, r_div, t_mask, r_mask, coeff, config, ops)
+        t_mid_fft, t_side_fft = _masked_spectrum_pair(tm, ts, t_mask, t_div, config)
+        r_mid_fft, r_side_fft = _masked_spectrum_pair(rm, rs, r_mask, r_div, config)
+        mid_fir = _fir_from_spectra(t_mid_fft * coeff, r_mid_fft, config, ops)
+        side_fir = _fir_from_spectra(t_side_fft * coeff, r_side_fft, config, ops)
         return jnp.sum(mid_fir) + jnp.sum(side_fir)
 
     # read target + reference (2ch each), write two small FIRs
