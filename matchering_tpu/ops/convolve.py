@@ -163,8 +163,18 @@ def fft_convolve_same_batch(
     taps = firs.shape[1]
     if taps > block_fft // 2:
         block_fft = _next_pow2(2 * taps)
-    if signals.shape[0] == 2 and _next_pow2(n + taps - 1) > block_fft:
-        return _convolve_blocked_packed2(signals, firs, block_fft)
+    full = n + taps - 1
+    if signals.shape[0] == 2 and _next_pow2(full) > block_fft:
+        # the packed path un-packs with a full-track (nblocks, 2, hop)
+        # transpose; at long-form scale that extra ~2 tracks of HBM tipped
+        # the 60-min 96 kHz master 280 MB over the 16 GB chip (measured r5
+        # OOM) — so pack only when the blocks fit one vmapped batch, and
+        # keep the memory-lean per-channel overlap-save for the chunked
+        # lax.map regime
+        discard = -(-(taps - 1) // 128) * 128
+        nblocks = -(-full // (block_fft - discard))
+        if nblocks <= 2 * _CONV_CHUNK:
+            return _convolve_blocked_packed2(signals, firs, block_fft)
     return jax.vmap(fft_convolve_same, in_axes=(0, 0, None))(
         signals, firs, block_fft
     )
