@@ -165,9 +165,15 @@ def phase_oracle():
     expected = np.asarray(out.result)
 
     rows = []
+    if os.path.exists(OUT_PATH):  # keep rows from earlier phases/runs
+        with open(OUT_PATH) as f:
+            rows = json.load(f).get("rows", [])
     if os.path.exists(ROWS_PATH):
         with open(ROWS_PATH) as f:
-            rows = [json.loads(line) for line in f if line.strip()]
+            rows += [json.loads(line) for line in f if line.strip()]
+    graph_rev = (
+        os.popen("git -C /root/repo rev-parse --short HEAD 2>/dev/null").read().strip()
+    )
     for engine in ("refine", "ladder"):
         path = f"/tmp/r5_master_{engine}.npy"
         if not os.path.exists(path):
@@ -178,6 +184,7 @@ def phase_oracle():
                 "row": "full_chain_master_30s",
                 "engine": engine,
                 "backend": "tpu (saved output)",
+                "graph": graph_rev,
                 "snr_db": round(snr_db(expected, got), 1),
                 "oracle": "cpu float64 full chain, same fixture",
             }
