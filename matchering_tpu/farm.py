@@ -106,15 +106,35 @@ def process_batch(
             r for r in (job.preview_target, job.preview_result) if r is not None
         ]
         temp_folder = config.temp_folder or get_temp_folder(anchor)
-        target_track = check(*load(job.target, "target", temp_folder), config, "target")
+        # integer-PCM sources keep their raw int16/int32 payload (half the
+        # H2D bytes; the graph converts on device) — see core._ingest
+        target_track = check(
+            *load(job.target, "target", temp_folder, raw_int=True), config, "target"
+        )
         reference_track = check(
-            *load(job.reference, "reference", temp_folder), config, "reference"
+            *load(job.reference, "reference", temp_folder, raw_int=True),
+            config,
+            "reference",
         )
         if not config.allow_equality:
             check_equality(target_track[0], reference_track[0])
         _assert_graph_ready((target_track, reference_track), config)
         targets.append(target_track[0])
         references.append(reference_track[0])
+
+    def _uniform_stageable(arrays):
+        """bucket_pad stacks a role's tracks into ONE array; mixed dtypes
+        would promote raw integer codes to floats WITHOUT scaling, so raw
+        staging only survives when a whole role is one integer dtype —
+        otherwise convert ints to float64 host-side (values identical)."""
+        if len({a.dtype for a in arrays}) == 1:
+            return arrays
+        from .checker import _int_to_float
+
+        return [_int_to_float(a) for a in arrays]
+
+    targets = _uniform_stageable(targets)
+    references = _uniform_stageable(references)
 
     # union of variants over all jobs: the graph renders a variant once for
     # the whole batch, jobs pick what they asked for

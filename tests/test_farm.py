@@ -239,3 +239,64 @@ def test_process_batch_on_2d_farm_mesh(file_pairs, tmp_path, snr):
         assert gsr == wsr and got.shape == want.shape
         measured = snr(want, got)
         assert measured > 80.0, (i, measured)
+
+
+def test_process_batch_stages_uniform_int_pcm(tmp_path, monkeypatch):
+    """File-ingesting batches of integer-PCM WAVs keep the int16 payload
+    through bucket_pad (uniform dtype), and mixed-dtype batches fall back
+    to scaled float64 — never raw codes promoted unscaled."""
+    import matchering_tpu.farm as farm
+    from matchering_tpu.io import wav
+    from matchering_tpu.parallel import batch as batch_mod
+
+    sr, n = 44100, 5 * 44100
+    rng = np.random.RandomState(31)
+    paths = {}
+    for name, subtype in (
+        ("t0", "PCM_16"), ("r0", "PCM_16"), ("t1", "PCM_16"), ("r1", "FLOAT"),
+    ):
+        x = np.clip(0.4 * rng.randn(n, 2), -1, 1)
+        p = str(tmp_path / f"{name}.wav")
+        wav.write(p, x, sr, subtype)
+        paths[name] = p
+
+    staged = []
+    orig = batch_mod.bucket_pad
+
+    def spy(arrays, **kw):
+        staged.append([a.dtype for a in arrays])
+        return orig(arrays, **kw)
+
+    monkeypatch.setattr(batch_mod, "bucket_pad", spy)
+
+    jobs = [
+        mg.PairJob(
+            target=paths["t0"],
+            reference=paths["r0"],
+            results=[mg.pcm16(str(tmp_path / "o0.wav"))],
+        ),
+        mg.PairJob(
+            target=paths["t1"],
+            reference=paths["r1"],
+            results=[mg.pcm16(str(tmp_path / "o1.wav"))],
+        ),
+    ]
+    mg.process_batch(jobs, mg.Config())
+    assert (tmp_path / "o0.wav").exists() and (tmp_path / "o1.wav").exists()
+    t_dtypes, r_dtypes = staged
+    # targets all PCM_16 -> raw ints stay; references mixed -> all float64
+    assert t_dtypes == [np.dtype(np.int16)] * 2
+    assert r_dtypes == [np.dtype(np.float64)] * 2
+
+    # parity: batch output tracks the single process() output for pair 0
+    # (the batch runs the bucket-padded dynamic-length graph, so outputs
+    # agree to SNR, not bit-for-bit — same gate as TestBatchFiles)
+    from matchering_tpu.io import codecs
+
+    single = str(tmp_path / "single0.wav")
+    mg.process(paths["t0"], paths["r0"], [mg.pcm16(single)], mg.Config())
+    a, _ = codecs.read(single)
+    b, _ = codecs.read(str(tmp_path / "o0.wav"))
+    err = a - b
+    snr = 10 * np.log10(np.sum(a**2) / max(np.sum(err**2), 1e-300))
+    assert snr > 80.0, snr
