@@ -109,6 +109,14 @@ def _masked_spectrum(
     )
 
 
+# Packed spectra hold several full-track-sized complex intermediates live
+# at once (z, Z, Re/Im, reversed halves); past ~2^27 frame samples (~1 GB
+# of complex64 per copy at 60-min 96 kHz scale) that working set OOMed the
+# 16 GB chip at runtime (measured r5) — beyond it, per-channel rFFTs keep
+# the r3 memory envelope.
+_SPECTRUM_PACK_LIMIT = 1 << 27
+
+
 def _masked_spectrum_pair(
     signal_a: jax.Array,
     signal_b: jax.Array,
@@ -121,16 +129,28 @@ def _masked_spectrum_pair(
     the production analysis path: the backend lowers rfft as a full-size
     c2c anyway, so packing halves the transform count of the analysis
     stage's hottest block (measured on chip: 2.0 ms vs 4.3 ms for the four
-    per-channel spectra, PROBE_SPECTRUM_R5.json)."""
+    per-channel spectra, PROBE_SPECTRUM_R5.json).  Long-form inputs above
+    ``_SPECTRUM_PACK_LIMIT`` frame samples route per-channel (memory)."""
     if division.div_max is None:
-        return spectrum.masked_average_spectrum_flat_pair(
-            signal_a, signal_b, mask, division.piece_size, division.divisions,
-            config.fft_size,
+        fpp = division.piece_size // config.fft_size
+        if division.divisions * fpp * config.fft_size <= _SPECTRUM_PACK_LIMIT:
+            return spectrum.masked_average_spectrum_flat_pair(
+                signal_a, signal_b, mask, division.piece_size,
+                division.divisions, config.fft_size,
+            )
+        return (
+            _masked_spectrum(signal_a, mask, division, config),
+            _masked_spectrum(signal_b, mask, division, config),
         )
     fpp_max = config.max_piece_size // config.fft_size + 1
-    return spectrum.masked_average_spectrum_dynamic_pair(
-        signal_a, signal_b, mask, division.piece_size, division.div_max,
-        config.fft_size, fpp_max,
+    if division.div_max * fpp_max * config.fft_size <= _SPECTRUM_PACK_LIMIT:
+        return spectrum.masked_average_spectrum_dynamic_pair(
+            signal_a, signal_b, mask, division.piece_size, division.div_max,
+            config.fft_size, fpp_max,
+        )
+    return (
+        _masked_spectrum(signal_a, mask, division, config),
+        _masked_spectrum(signal_b, mask, division, config),
     )
 
 
