@@ -123,9 +123,15 @@ def _convolve_blocked_packed2(
     blocks = overlapping_blocks(padded, nblocks, hop, nfft)
 
     # full-length Hermitian FIR spectra (tiny: one nfft-point transform per
-    # channel, once per call)
+    # channel, once per call).  The split+filter+repack collapses
+    # algebraically: with spec0 = (Z + Zm)/2 and spec1 = -i(Z - Zm)/2,
+    #   Q = spec0*h0 + i*spec1*h1 = Z*(h0+h1)/2 + Zm*(h0-h1)/2
+    # — two complex multiplies per block instead of four, no per-channel
+    # spectrum temporaries.
     h0 = jnp.fft.fft(jax.lax.complex(firs[0], jnp.zeros_like(firs[0])), n=nfft)
     h1 = jnp.fft.fft(jax.lax.complex(firs[1], jnp.zeros_like(firs[1])), n=nfft)
+    h_sum = 0.5 * (h0 + h1)
+    h_diff = 0.5 * (h0 - h1)
 
     def per_block(block):
         Z = jnp.fft.fft(block)
@@ -135,10 +141,7 @@ def _convolve_blocked_packed2(
         tail = Z[..., :0:-1]
         tail = jax.lax.optimization_barrier(tail)
         Zm = jnp.conj(jnp.concatenate([Z[..., :1], tail], axis=-1))
-        spec0 = 0.5 * (Z + Zm)
-        spec1 = -0.5j * (Z - Zm)
-        Q = spec0 * h0 + 1j * (spec1 * h1)
-        q = jnp.fft.ifft(Q)
+        q = jnp.fft.ifft(Z * h_sum + Zm * h_diff)
         return jnp.stack([jnp.real(q), jnp.imag(q)])[:, discard:]
 
     if nblocks > 2 * _CONV_CHUNK:
