@@ -418,6 +418,25 @@ def _two_level_zero_state(blocks, pole, powers, a_block, dtype):
 _DS_POLE_THRESHOLD = 0.99  # use the compensated scan beyond this pole
 
 
+# Compensation is only worth its ~5x cost when the pole is close enough to
+# 1 that plain-f32 error accumulation (random-walk, amplified ~1/(1-p))
+# bites.  Below this distance the plain scan already measures ~144 dB at
+# the limiter's hold pole ON CHIP (SNR_ONCHIP_r05.json plain_f32 rows) and
+# the full f32 chain is bit-for-SNR identical with or without compensation
+# there (119.7 dB either way on the CPU 30 s fixture); the release pole
+# (1-p ≈ 3.8e-5) stays compensated.  MATCHERING_TPU_DS_POLE_GATE=0 forces
+# every ds scan through the compensated engine.
+_DS_POLE_GATE_DISTANCE = 5e-4
+
+
+def _plain_suffices(pole: float) -> bool:
+    import os
+
+    if os.environ.get("MATCHERING_TPU_DS_POLE_GATE", "1") == "0":
+        return False
+    return (1.0 - abs(float(pole))) > _DS_POLE_GATE_DISTANCE
+
+
 def _ds_engine() -> str:
     import os
 
@@ -646,6 +665,9 @@ def scan_first_order_ds(drive_hi: jax.Array, drive_lo: jax.Array, pole: float):
 def _scan_first_order_ds_impl(drive_hi: jax.Array, drive_lo: jax.Array, pole: float):
     import numpy as _np
 
+    if _plain_suffices(pole):
+        y = _scan_first_order_impl(drive_hi + drive_lo, pole)
+        return y, jnp.zeros_like(y)
     if _ds_engine() == "refine":
         return _refined_ds(drive_hi, drive_lo, pole, _scan_first_order_impl)
 
@@ -706,6 +728,9 @@ def _scan_first_order_ds_batched(drive_hi, drive_lo, pole: float):
     :func:`_scan_first_order_batched`; carries stay per track."""
     import numpy as _np
 
+    if _plain_suffices(pole):
+        y = _scan_first_order_batched(drive_hi + drive_lo, pole)
+        return y, jnp.zeros_like(y)
     if _ds_engine() == "refine":
         return _refined_ds(drive_hi, drive_lo, pole, _scan_first_order_batched)
 
