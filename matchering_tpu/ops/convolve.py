@@ -178,6 +178,14 @@ def fft_convolve_same_batch(
         nblocks = -(-full // (block_fft - discard))
         if nblocks <= 2 * _CONV_CHUNK:
             return _convolve_blocked_packed2(signals, firs, block_fft)
-    return jax.vmap(fft_convolve_same, in_axes=(0, 0, None))(
-        signals, firs, block_fft
+    # per-channel fallback as a PYTHON loop, not vmap: vmapping the chunked
+    # lax.map branch multiplies generated code ~26x (871 MB of on-device
+    # program text for a 60-min stereo track vs 34 MB per channel — a
+    # measured r5 HBM-OOM contributor), and sequential channels let XLA
+    # reuse the block buffers
+    return jnp.stack(
+        [
+            fft_convolve_same(signals[c], firs[c], block_fft)
+            for c in range(signals.shape[0])
+        ]
     )
