@@ -852,6 +852,11 @@ def master_sharded(
     reference = (
         np.asarray(reference) if not isinstance(reference, jax.Array) else reference
     )
+    # staged integer PCM converts to the working dtype up front (the
+    # sharded body computes directly on its inputs)
+    dtype = jnp.dtype(config.dtype)
+    target = basics.to_working_float(jnp.asarray(target), dtype)
+    reference = basics.to_working_float(jnp.asarray(reference), dtype)
     t_len, r_len = target.shape[0], reference.shape[0]
     t_div, t_piece = piece_division(t_len, config.max_piece_size)
     r_div, r_piece = piece_division(r_len, config.max_piece_size)
@@ -947,8 +952,12 @@ def master_farm(
     n_time = mesh.shape[time_axis]
     n_pairs = mesh.shape[pairs_axis]
 
-    targets = jnp.asarray(targets)
-    references = jnp.asarray(references)
+    # staged integer PCM converts to the working dtype up front (the
+    # sharded body, unlike master_graph, computes directly on its inputs)
+    targets = basics.to_working_float(jnp.asarray(targets), jnp.dtype(config.dtype))
+    references = basics.to_working_float(
+        jnp.asarray(references), jnp.dtype(config.dtype)
+    )
     if targets.shape[0] % n_pairs:
         raise ValueError(
             f"batch {targets.shape[0]} not divisible by pairs axis {n_pairs}"
