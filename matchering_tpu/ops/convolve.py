@@ -153,31 +153,44 @@ def _convolve_blocked_packed2(
     return out.astype(signals.dtype)
 
 
+# Per-path block defaults, both measured on a v5e for the production
+# 4096-tap FIR over a 3-min track: the per-channel overlap-save is fastest
+# at 2^16 (6.8 ms vs 9.3 at 2^17), the packed stereo path at 2^14
+# (3.17 ms vs 3.51 at 2^15 and 5.59 at 2^16 — smaller c2c blocks keep the
+# transform + Hermitian split resident).
+_PACKED_BLOCK = 1 << 14
+
+# The packed path un-packs with a full-track (nblocks, 2, hop) transpose
+# (~2 extra track copies of HBM); past this many full-convolution samples
+# (~1 GB of copies) that tipped the 60-min 96 kHz master over the 16 GB
+# chip (measured r5 OOM) — beyond it, the memory-lean per-channel
+# overlap-save runs instead.
+_PACKED_TOTAL_LIMIT = 1 << 27
+
+
 def fft_convolve_same_batch(
-    signals: jax.Array, firs: jax.Array, block_fft: int = 1 << 16
+    signals: jax.Array, firs: jax.Array, block_fft: int | None = None
 ) -> jax.Array:
     """Batched 'same' convolution: signals (c, n) with firs (c, taps).
 
     Channel pairs route through :func:`_convolve_blocked_packed2` (both
     channels in one complex transform — half the FFTs); other channel
-    counts and the short single-FFT path fall back to the per-channel
-    form."""
+    counts, long-form inputs past ``_PACKED_TOTAL_LIMIT`` and the short
+    single-FFT path fall back to the per-channel form.  ``block_fft=None``
+    picks the measured per-path default."""
     n = signals.shape[1]
     taps = firs.shape[1]
-    if taps > block_fft // 2:
-        block_fft = _next_pow2(2 * taps)
+    pack_block = block_fft or _PACKED_BLOCK
+    chan_block = block_fft or (1 << 16)
+    if taps > pack_block // 2:
+        pack_block = _next_pow2(2 * taps)
     full = n + taps - 1
-    if signals.shape[0] == 2 and _next_pow2(full) > block_fft:
-        # the packed path un-packs with a full-track (nblocks, 2, hop)
-        # transpose; at long-form scale that extra ~2 tracks of HBM tipped
-        # the 60-min 96 kHz master 280 MB over the 16 GB chip (measured r5
-        # OOM) — so pack only when the blocks fit one vmapped batch, and
-        # keep the memory-lean per-channel overlap-save for the chunked
-        # lax.map regime
-        discard = -(-(taps - 1) // 128) * 128
-        nblocks = -(-full // (block_fft - discard))
-        if nblocks <= 2 * _CONV_CHUNK:
-            return _convolve_blocked_packed2(signals, firs, block_fft)
+    if (
+        signals.shape[0] == 2
+        and _next_pow2(full) > pack_block
+        and full <= _PACKED_TOTAL_LIMIT
+    ):
+        return _convolve_blocked_packed2(signals, firs, pack_block)
     # per-channel fallback as a PYTHON loop, not vmap: vmapping the chunked
     # lax.map branch multiplies generated code ~26x (871 MB of on-device
     # program text for a 60-min stereo track vs 34 MB per channel — a
@@ -185,7 +198,7 @@ def fft_convolve_same_batch(
     # reuse the block buffers
     return jnp.stack(
         [
-            fft_convolve_same(signals[c], firs[c], block_fft)
+            fft_convolve_same(signals[c], firs[c], chan_block)
             for c in range(signals.shape[0])
         ]
     )
