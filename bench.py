@@ -101,19 +101,37 @@ def main():
             float(sync(t))
             float(sync(r))
 
+    # one aggregated sync: fetching B per-pair scalars costs B tunnel
+    # round-trips (~10 ms each — 69 ms of the r5 round was fetch RTT, same-
+    # run A/B: 6791 vs 10056 audio-sec/s); summing the checksums on device
+    # and fetching ONE scalar syncs the identical work in a single trip
+    agg = jax.jit(lambda *hs: sum(hs))
+
     def run(pairs):
         handles = [graph(t, r, interp_ops) for t, r in pairs]  # enqueue all
-        return [float(h) for h in handles]  # then fetch all
+        return float(agg(*handles))  # one device-side sum, one fetch
+
+    def run_perpair(pairs):
+        handles = [graph(t, r, interp_ops) for t, r in pairs]
+        return [float(h) for h in handles]
 
     run(reps[0])  # compile + warm
+    run_perpair(reps[0])
     times = []
+    perpair_times = []
     for pairs in reps[1:]:
         start = time.perf_counter()
         run(pairs)
         times.append(time.perf_counter() - start)
+    for pairs in reps[1:]:
+        start = time.perf_counter()
+        run_perpair(pairs)
+        perpair_times.append(time.perf_counter() - start)
 
     times.sort()
+    perpair_times.sort()
     median = times[len(times) // 2]
+    perpair_median = perpair_times[len(perpair_times) // 2]
     throughput = B * seconds / median
 
     # single-pair realtime factor, same run (bench continuity, VERDICT r4
@@ -133,6 +151,14 @@ def main():
             "median_s": round(median, 4),
             "audio_sec_per_s": round(throughput, 1),
             "pairs_per_s": round(B / median, 2),
+        },
+        "pipelined_B8_perpair_fetch": {
+            "times_s": [round(x, 4) for x in perpair_times],
+            "median_s": round(perpair_median, 4),
+            "audio_sec_per_s": round(B * seconds / perpair_median, 1),
+            "pairs_per_s": round(B / perpair_median, 2),
+            "note": "same work, one scalar fetch per pair — the delta vs "
+            "pipelined_B8 is pure tunnel fetch RTT",
         },
         "single_pair": {
             "times_s": [round(x, 4) for x in single_times],
