@@ -184,10 +184,14 @@ def batch64():
             print(f"  staged {i + 1}/{B}", flush=True)
     stage_s = time.perf_counter() - t0
 
+    agg = jax.jit(lambda *hs: sum(hs))
+
     def run(rep):
         s = jnp.asarray(float(rep), jnp.float32)
         handles = [graph(t, r, interp_ops, s) for t, r in staged]
-        return [float(h) for h in handles]
+        # one aggregated fetch: B per-pair scalar fetches cost B tunnel
+        # round-trips (~10 ms each — see bench.py / BENCH_EXTRA_r05)
+        return float(agg(*handles))
 
     t0 = time.perf_counter()
     run(0)  # compile + warm
