@@ -139,12 +139,8 @@ def batch64():
     REPS = 3
     config = mg.Config()
     device = jax.devices()[0]
-    interp_ops = smoothing.interpolation_operator_arrays(
-        config.internal_sample_rate,
-        config.fft_size,
-        config.lin_log_oversampling,
-        jnp.dtype(config.dtype),
-    )
+    # production operator pair (LOWESS folded) — see operator_arrays_for_config
+    interp_ops = smoothing.operator_arrays_for_config(config)
 
     @jax.jit
     def graph(target, reference, ops, s):
