@@ -600,3 +600,105 @@ class TestPackedPairSpectrum:
         )
         np.testing.assert_allclose(np.asarray(got_a), want_a, rtol=1e-10, atol=1e-13)
         np.testing.assert_allclose(np.asarray(got_b), want_b, rtol=1e-10, atol=1e-13)
+
+
+class TestMemoryBoundDispatch:
+    """Pin the r5 memory-bound routing decisions: the packed FFT forms OOMed
+    a 16 GB chip at 60-min 96 kHz scale (compile-time for the conv un-pack
+    transpose, runtime for the spectra working set), so both dispatchers
+    must fall back per-channel past their bounds."""
+
+    def test_conv_packs_below_total_limit_only(self, rng, monkeypatch):
+        calls = []
+        orig = convolve._convolve_blocked_packed2
+
+        def spy(signals, firs, block_fft):
+            calls.append(block_fft)
+            return orig(signals, firs, block_fft)
+
+        monkeypatch.setattr(convolve, "_convolve_blocked_packed2", spy)
+        h = jnp.asarray(rng.randn(2, 513))
+
+        x = jnp.asarray(rng.randn(2, 100_000))
+        convolve.fft_convolve_same_batch(x, h)
+        assert calls == [convolve._PACKED_BLOCK]  # packed, at its own default
+
+        calls.clear()
+        big_n = convolve._PACKED_TOTAL_LIMIT + 10  # past the HBM bound
+        big = jax.ShapeDtypeStruct((2, big_n), jnp.float32)
+        hs = jax.ShapeDtypeStruct((2, 4096), jnp.float32)
+        jax.eval_shape(convolve.fft_convolve_same_batch, big, hs)
+        assert calls == []  # long-form routes per-channel
+
+    def test_spectra_pack_below_limit_only(self):
+        import matchering_tpu as mg
+        from matchering_tpu import stages
+        from matchering_tpu.ops import spectrum as spec_mod
+
+        config = mg.Config()
+        calls = []
+        orig = spec_mod.masked_average_spectrum_flat_pair
+
+        def spy(*a, **k):
+            calls.append("packed")
+            return orig(*a, **k)
+
+        import unittest.mock as mock
+
+        with mock.patch.object(spec_mod, "masked_average_spectrum_flat_pair", spy):
+            with mock.patch.object(
+                stages.spectrum, "masked_average_spectrum_flat_pair", spy
+            ):
+                n_small = 60 * 44100
+                div = stages._Division.static(n_small, config.max_piece_size)
+                x = jax.ShapeDtypeStruct((n_small,), jnp.float32)
+                m = jax.ShapeDtypeStruct((div.divisions,), jnp.float32)
+                jax.eval_shape(
+                    lambda a, b, mm: stages._masked_spectrum_pair(a, b, mm, div, config),
+                    x, x, m,
+                )
+                assert calls == ["packed"]
+
+                calls.clear()
+                n_big = 60 * 60 * 96000  # the 60-min 96 kHz shape
+                cfg96 = mg.Config(internal_sample_rate=96000, max_length=2 * 3600)
+                div_big = stages._Division.static(n_big, cfg96.max_piece_size)
+                xb = jax.ShapeDtypeStruct((n_big,), jnp.float32)
+                mb = jax.ShapeDtypeStruct((div_big.divisions,), jnp.float32)
+                jax.eval_shape(
+                    lambda a, b, mm: stages._masked_spectrum_pair(a, b, mm, div_big, cfg96),
+                    xb, xb, mb,
+                )
+                assert calls == []  # long-form routes per-channel
+
+
+class TestPoleGate:
+    """The r5 pole-distance gate: compensation only engages near the unit
+    circle — the limiter's hold pole runs plain, its release pole refine."""
+
+    def test_gates_hold_not_release(self):
+        hold = iir.butter1_coefficients(7.0, 44100)
+        release = iir.butter1_coefficients(800.0 / 3000.0, 44100)
+        assert iir._plain_suffices(hold.pole)
+        assert not iir._plain_suffices(release.pole)
+
+    def test_env_opt_out(self, monkeypatch):
+        monkeypatch.setenv("MATCHERING_TPU_DS_POLE_GATE", "0")
+        hold = iir.butter1_coefficients(7.0, 44100)
+        assert not iir._plain_suffices(hold.pole)
+
+    def test_gated_scan_matches_f64(self, rng):
+        """The gated (plain) path at the hold pole must still track the
+        exact recurrence to well beyond audio precision."""
+        from scipy import signal as ssignal
+
+        pole = iir.butter1_coefficients(7.0, 44100).pole
+        d = (0.02 + 0.01 * np.abs(rng.randn(200000))).astype(np.float32)
+        want = ssignal.lfilter([1.0], [1.0, -pole], d.astype(np.float64))
+        hi, lo = jax.jit(
+            lambda h: iir.scan_first_order_ds(h, jnp.zeros_like(h), pole)
+        )(jnp.asarray(d))
+        got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        err = want - got
+        snr = 10 * np.log10(np.sum(want**2) / np.sum(err**2))
+        assert snr > 120.0, snr
