@@ -3,13 +3,15 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Workload mirrors the reference's headline use (BASELINE.md /
-``examples/basic.py``) at production batch scale: eight distinct ~3-minute
-stereo 44.1 kHz target/reference pairs through the complete chain — level
-match, FIR EQ via overlap-save block FFT, 4-step RMS correction, Hyrax
-limiter — dispatched as pipelined independent programs (the
-``parallel.master_pairs`` serving pattern, with the sync checksum fused
-into each program; measured 2.1x the vmapped batch,
-BENCH_EXTRA_r03.json).  The metric is throughput
+``examples/basic.py``) at production batch scale: sixteen distinct
+~3-minute stereo 44.1 kHz target/reference pairs through the complete
+chain — level match, FIR EQ via overlap-save block FFT, 4-step RMS
+correction, Hyrax limiter — dispatched as pipelined independent programs
+(the ``parallel.master_pairs`` serving pattern) and synchronized with ONE
+aggregated checksum fetch per round (per-result scalar fetches each pay a
+~10 ms tunnel RTT — same-run A/B in BENCH_EXTRA_r05.json).  Inputs are
+staged once and perturbed in-graph per rep by a traced scalar, so neither
+XLA nor the tunnel can memoize repeats.  The metric is throughput
 (audio-seconds mastered per wall second); the reference publishes no
 numbers, so vs_baseline is measured against the BASELINE.json north-star of
 50x realtime per chip.
@@ -20,7 +22,7 @@ import time
 
 import numpy as np
 
-B = 8  # pairs per timed dispatch round
+B = 16  # pairs per timed dispatch round
 REPS = 3
 
 
@@ -70,36 +72,28 @@ def main():
     interp_ops = smoothing.operator_arrays_for_config(config)
 
     @jax.jit
-    def graph(target, reference, ops):
+    def graph(target, reference, ops, s):
+        # the traced scalar perturbs each rep's values (distinct
+        # computations defeat tunnel memoization without re-staging)
         out = mg.master_graph(
-            target, reference, config, need_default=True, interp_ops=ops
+            target * (1.0 + 1e-7 * s), reference, config,
+            need_default=True, interp_ops=ops,
         )
         # reduce to one scalar inside the program: fetching it to the host
         # is the only reliable synchronization on the tunneled TPU backend
         # (block_until_ready returns before execution completes there)
         return jnp.sum(jnp.abs(out.result))
 
-    # stage every rep's inputs on device up front, distinct values per rep
-    # and per pair so no layer (including the remote TPU tunnel) can
-    # memoize identical computations
-    base = [make_pair(seconds, sr, 42 + i) for i in range(B)]
-    reps = []
-    for rep in range(REPS + 1):  # rep 0 warms/compiles
-        scale = 1.0 + 0.003 * rep
-        reps.append(
-            [
-                (
-                    jax.device_put(t * scale, device),
-                    jax.device_put(r * (2.0 - scale), device),
-                )
-                for t, r in base
-            ]
-        )
+    # stage the batch once, outside any timed region (~25 MB/s tunnel)
     sync = jax.jit(lambda a: jnp.sum(a[:: 1 << 20]))
-    for pairs in reps:  # sync ALL staging (targets and references)
-        for t, r in pairs:
-            float(sync(t))
-            float(sync(r))
+    staged = []
+    for i in range(B):
+        t, r = make_pair(seconds, sr, 42 + i)
+        td = jax.device_put(t, device)
+        rd = jax.device_put(r, device)
+        float(sync(td))
+        float(sync(rd))
+        staged.append((td, rd))
 
     # one aggregated sync: fetching B per-pair scalars costs B tunnel
     # round-trips (~10 ms each — 69 ms of the r5 round was fetch RTT, same-
@@ -107,25 +101,27 @@ def main():
     # and fetching ONE scalar syncs the identical work in a single trip
     agg = jax.jit(lambda *hs: sum(hs))
 
-    def run(pairs):
-        handles = [graph(t, r, interp_ops) for t, r in pairs]  # enqueue all
+    def run(rep):
+        s = jnp.asarray(float(rep), jnp.float32)
+        handles = [graph(t, r, interp_ops, s) for t, r in staged]
         return float(agg(*handles))  # one device-side sum, one fetch
 
-    def run_perpair(pairs):
-        handles = [graph(t, r, interp_ops) for t, r in pairs]
+    def run_perpair(rep):
+        s = jnp.asarray(float(rep), jnp.float32)
+        handles = [graph(t, r, interp_ops, s) for t, r in staged]
         return [float(h) for h in handles]
 
-    run(reps[0])  # compile + warm
-    run_perpair(reps[0])
+    run(0)  # compile + warm
+    run_perpair(100)
     times = []
     perpair_times = []
-    for pairs in reps[1:]:
+    for rep in range(1, REPS + 1):
         start = time.perf_counter()
-        run(pairs)
+        run(rep)
         times.append(time.perf_counter() - start)
-    for pairs in reps[1:]:
+    for rep in range(1, REPS + 1):
         start = time.perf_counter()
-        run_perpair(pairs)
+        run_perpair(200 + rep)
         perpair_times.append(time.perf_counter() - start)
 
     times.sort()
@@ -137,22 +133,23 @@ def main():
     # single-pair realtime factor, same run (bench continuity, VERDICT r4
     # item 6): one pair per dispatch, median of the warm reps
     single_times = []
-    for pairs in reps[1:]:
-        t, r = pairs[0]
+    t0, r0 = staged[0]
+    for rep in range(1, REPS + 1):
+        s = jnp.asarray(300.0 + rep, jnp.float32)
         start = time.perf_counter()
-        float(graph(t, r, interp_ops))
+        float(graph(t0, r0, interp_ops, s))
         single_times.append(time.perf_counter() - start)
     single_times.sort()
     single = single_times[len(single_times) // 2]
 
     rows = {
-        "pipelined_B8": {
+        f"pipelined_B{B}": {
             "times_s": [round(x, 4) for x in times],
             "median_s": round(median, 4),
             "audio_sec_per_s": round(throughput, 1),
             "pairs_per_s": round(B / median, 2),
         },
-        "pipelined_B8_perpair_fetch": {
+        f"pipelined_B{B}_perpair_fetch": {
             "times_s": [round(x, 4) for x in perpair_times],
             "median_s": round(perpair_median, 4),
             "audio_sec_per_s": round(B * seconds / perpair_median, 1),
