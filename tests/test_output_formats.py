@@ -676,3 +676,27 @@ class TestOpusWrite:
         codecs.write(r.file, x, 48000, r.subtype)
         y, sr = codecs.read(r.file)
         assert sr == 48000 and y.shape == x.shape
+
+
+class TestOggMuxEdges:
+    def test_lacing_255_boundary_roundtrips(self):
+        """Packets whose length is an exact multiple of 255 need a 0-lace
+        terminator (RFC 3533); the mux's pages must demux back exactly."""
+        from matchering_tpu.io.native import opus
+
+        for length in (0, 1, 254, 255, 256, 510, 1000):
+            pkt = bytes(range(256)) * 4
+            pkt = pkt[:length]
+            page = opus._ogg_page([pkt], 7, 42, 0, 0x02)
+            # demux with the read-side parser
+            packets, granule = opus._demux_ogg(page)
+            assert packets == [pkt], length
+            assert granule == 7
+
+    def test_multi_packet_page_roundtrip(self):
+        from matchering_tpu.io.native import opus
+
+        pkts = [b"a" * 10, b"b" * 255, b"c" * 300, b""]
+        page = opus._ogg_page(pkts, 99, 1, 3, 0x00)
+        got, granule = opus._demux_ogg(page)
+        assert got == pkts and granule == 99
